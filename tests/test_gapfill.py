@@ -1,0 +1,149 @@
+"""Gap fill vs the reference semantics (``preprocessing/fill_gaps.py``):
+pandas oracle = Grouper grid + Series.interpolate / np.interp, exercising
+both interpolation edge behaviors (SURVEY.md §7.4.5), and SQL-path ==
+UDF-path equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsforge_spark.operators.gapfill import complete_grid, fill_gaps, locf
+
+
+@pytest.fixture(scope="module")
+def daily_pdf():
+    rng = np.random.default_rng(42)
+    frames = []
+    for i, n in [(0, 40), (1, 25), (2, 60)]:
+        dates = pd.date_range("2024-01-01", periods=n, freq="D")
+        keep = rng.random(n) > 0.3
+        keep[0] = keep[-1] = True
+        y = rng.normal(10, 3, n)
+        frames.append(
+            pd.DataFrame(
+                {"uid": f"s{i}", "ds": dates[keep].astype("datetime64[us]"),
+                 "y": y[keep]}
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    # leading/trailing gap series: nulls at both edges after grid join are
+    # exercised via a series whose first/last retained dates differ.
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def daily(spark, daily_pdf):
+    return spark.createDataFrame(daily_pdf).cache()
+
+
+def pandas_fill_oracle(pdf: pd.DataFrame, how: str) -> pd.DataFrame:
+    out = []
+    for uid, g in pdf.groupby("uid"):
+        g = g.set_index("ds").sort_index()
+        grid = pd.date_range(g.index.min(), g.index.max(), freq="D")
+        y = g["y"].reindex(grid)
+        if how == "zero":
+            y = y.fillna(0.0)
+        elif how == "locf":
+            y = y.ffill()
+        elif how == "mean":
+            y = y.fillna(y.mean())
+        elif how == "interp_pandas":
+            y = y.interpolate()  # leading stays NaN, trailing ffills
+        elif how == "interp_clamp":
+            t = grid.view("int64")
+            mask = y.notna().to_numpy()
+            y = pd.Series(
+                np.where(mask, y, np.interp(t, t[mask], y[mask])), index=grid
+            )
+        out.append(pd.DataFrame({"uid": uid, "ds": grid, "y": y.to_numpy()}))
+    res = pd.concat(out, ignore_index=True)
+    res["ds"] = res["ds"].astype("datetime64[us]")
+    return res.sort_values(["uid", "ds"]).reset_index(drop=True)
+
+
+def normalize(pdf):
+    pdf = pdf.sort_values(["uid", "ds"]).reset_index(drop=True)
+    pdf["ds"] = pd.to_datetime(pdf["ds"]).astype("datetime64[us]")
+    return pdf[["uid", "ds", "y"]]
+
+
+def test_grid_is_dense(spark, daily, daily_pdf):
+    grid = complete_grid(daily, "uid", "ds", "1d").toPandas()
+    for uid, g in daily_pdf.groupby("uid"):
+        n_expected = (g["ds"].max() - g["ds"].min()).days + 1
+        assert (grid["uid"] == uid).sum() == n_expected
+
+
+@pytest.mark.parametrize("how", ["zero", "locf", "mean"])
+def test_simple_fills(spark, daily, daily_pdf, how):
+    got = normalize(
+        fill_gaps(daily, "uid", "ds", "1d", target_col="y", target_fill=how).toPandas()
+    )
+    want = pandas_fill_oracle(daily_pdf, how)
+    pd.testing.assert_frame_equal(got, want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("method,oracle", [("pandas", "interp_pandas"), ("clamp", "interp_clamp")])
+@pytest.mark.parametrize("use_udf", [False, True])
+def test_interpolate_both_paths(spark, daily, daily_pdf, method, oracle, use_udf):
+    got = normalize(
+        fill_gaps(
+            daily, "uid", "ds", "1d",
+            target_col="y", target_fill="interpolate",
+            method=method, use_udf=use_udf,
+        ).toPandas()
+    )
+    want = pandas_fill_oracle(daily_pdf, oracle)
+    pd.testing.assert_frame_equal(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_static_replication_and_dynamic_ffill(spark):
+    pdf = pd.DataFrame(
+        {
+            "uid": ["a"] * 3,
+            "ds": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-06"]).astype(
+                "datetime64[us]"
+            ),
+            "y": [1.0, 2.0, 3.0],
+            "cat": ["red", "red", "red"],
+            "promo": [0.5, None, 0.7],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        fill_gaps(
+            df, "uid", "ds", "1d",
+            target_col="y", target_fill="zero",
+            static_cols=["cat"], dynamic_fill={"promo": "ffill"},
+        )
+        .toPandas()
+        .sort_values("ds")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    assert (out["cat"] == "red").all()  # static replicated into gap rows
+    assert out["y"].tolist() == [1.0, 0.0, 2.0, 0.0, 0.0, 3.0]
+    assert out["promo"].tolist() == [0.5, 0.5, 0.5, 0.5, 0.5, 0.7]
+
+
+def test_locf_helper(spark):
+    pdf = pd.DataFrame(
+        {
+            "uid": ["a"] * 4,
+            "ds": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+            ).astype("datetime64[us]"),
+            "y": [None, 1.0, None, 2.0],
+        }
+    )
+    out = (
+        locf(spark.createDataFrame(pdf), ["y"], "uid", "ds")
+        .toPandas()
+        .sort_values("ds")["y"]
+        .tolist()
+    )
+    assert out[0] is None or np.isnan(out[0])
+    assert out[1:] == [1.0, 1.0, 2.0]

@@ -1,0 +1,120 @@
+"""End-to-end pipeline: full run, blob round-trip vs tier tables,
+incremental late-data re-fold vs full recompute, resumability, lineage."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tsforge_spark.codec.blobs import decode_blobs, encode_tier_blobs
+from tsforge_spark.fixtures import make_late_batch, make_transcripts, transcripts_to_spark
+from tsforge_spark.operators.rollup import rollup_transcripts
+from tsforge_spark.plans.pipeline import RollupPipeline
+from tsforge_spark.sources.snapshots import SnapshotStore
+
+
+def _tier_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf.sort_values(["conv_id", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"turns": "int64", "tool_calls": "int64"})
+    )
+
+
+@pytest.fixture(scope="module")
+def base_pdf():
+    return make_transcripts(n_convs=40, seed=7)
+
+
+def test_blob_roundtrip_matches_tier(spark, transcripts):
+    t1m = rollup_transcripts(transcripts, "1m")
+    blobs = encode_tier_blobs(t1m, "1m")
+    decoded = decode_blobs(blobs)
+    got = (
+        decoded.groupBy("conv_id", "bucket")
+        .pivot("measure", ["turns", "tool_calls"])
+        .sum("value")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = (
+        t1m.select("conv_id", "bucket", "turns", "tool_calls")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert (got["turns"].to_numpy() == want["turns"].to_numpy()).all()
+    assert (got["tool_calls"].to_numpy() == want["tool_calls"].to_numpy()).all()
+    # compression must actually compress on regular tier data
+    stats = blobs.selectExpr(
+        "sum(raw_bytes) raw", "sum(blob_bytes) enc"
+    ).collect()[0]
+    assert stats["enc"] < stats["raw"]
+
+
+def test_full_run_and_incremental_refold(spark, base_pdf, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base_pdf))
+
+    pipe = RollupPipeline(
+        spark, store, str(tmp_path / "out"), n_buckets=8
+    )
+    r1 = pipe.run()
+    assert r1["status"] == "ok"
+    assert r1["turns"] == len(base_pdf)
+
+    # rerun with no new snapshots → no-op (resumable checkpoint)
+    assert pipe.run()["status"] == "up-to-date"
+
+    # late out-of-order batch lands as a second snapshot
+    late = make_late_batch(base_pdf, seed=11)
+    assert len(late) > 0
+    store.append(transcripts_to_spark(spark, late))
+    r2 = pipe.run()
+    assert r2["status"] == "ok"
+    assert r2["turns"] == len(late)
+
+    # incremental result must equal a full recompute on all data
+    all_pdf = pd.concat([base_pdf, late], ignore_index=True)
+    full = RollupPipeline(
+        spark,
+        store,
+        str(tmp_path / "out_full"),
+        n_buckets=8,
+        dedup_against_history=False,
+    )
+    # full pipeline consumes the same two snapshots in one go
+    rf = full.run()
+    assert rf["turns"] == len(all_pdf)
+
+    for tier in ("1m", "1h", "1d"):
+        inc = _tier_norm(pipe.read_tier(tier).toPandas())
+        ful = _tier_norm(full.read_tier(tier).toPandas())
+        pd.testing.assert_frame_equal(inc, ful)
+        # blobs decode to the tier exactly, in both pipelines
+        dec = (
+            pipe.decoded_series(tier)
+            .filter("measure = 'turns'")
+            .toPandas()
+            .sort_values(["conv_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        assert (dec["value"].to_numpy() == inc["turns"].to_numpy()).all()
+
+    # per-turn text equality invariant over the canonical turn store
+    assert pipe.verify_text_equality(transcripts_to_spark(spark, all_pdf)) == 0
+
+    # duplicate-snapshot safety: appending the same late batch again must
+    # not change any tier (exactly-once dedup against history)
+    store.append(transcripts_to_spark(spark, late))
+    r3 = pipe.run()
+    assert r3["turns"] == 0 or r3["status"] == "ok"
+    inc2 = _tier_norm(pipe.read_tier("1m").toPandas())
+    ful2 = _tier_norm(full.read_tier("1m").toPandas())
+    pd.testing.assert_frame_equal(inc2, ful2)
+
+    # lineage recorded per stage with bucket grain
+    lin = spark.read.parquet(pipe.lineage_path).toPandas()
+    assert (lin["stage"] == "ingest").any()
+    assert lin["row_count"].sum() >= len(all_pdf)

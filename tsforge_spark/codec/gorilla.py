@@ -1,0 +1,199 @@
+"""Gorilla-family codecs, vectorized for Spark pandas-UDF execution.
+
+The classic Gorilla paper (Pelkonen et al., VLDB'15) encodes floats as
+XOR-with-previous plus leading/trailing-zero windows, and timestamps as
+delta-of-delta, in one sequential bitstream.  A bit-sequential loop is
+per-row Python — forbidden on our hot path (BASELINE.json north rule) and
+numba is unavailable here.  We therefore use a **stream-split, byte-aligned
+variant** of the same two schemes (precedent: Parquet BYTE_STREAM_SPLIT,
+Chimp128's byte-aligned XOR):
+
+values (float64):
+  u[i] = bits(v[i]);  x[i] = u[i] XOR u[i-1]
+  control byte  c[i] = (trailing_zero_bytes << 4) | significant_bytes
+  payload       the significant bytes of x[i] (little-endian order)
+  Controls and payloads are written to two *separate* streams, so decode
+  can locate every value with a cumsum over the control stream — a pure
+  numpy gather/scatter in both directions.  Identical consecutive values
+  cost 1 byte; slowly-varying series cost 3-5 bytes vs 8 raw.
+
+timestamps (int64 µs):
+  d[i] = ts[i] − ts[i-1];  dod[i] = d[i] − d[i-1];  z = zigzag(dod)
+  control byte = number of significant low bytes of z; same stream split.
+  Regular cadence (constant delta) costs 1 byte per point.
+
+Blob layout (all little-endian)::
+
+    magic 'TSG1' | u32 n | i64 first_ts | i64 first_delta | u64 first_val_bits
+    | u32 ts_payload_len | u32 val_payload_len
+    | ts_controls (n-2 bytes) | ts_payload | val_controls (n-1) | val_payload
+
+The reference has no compression at all (SURVEY.md §2.9 "absent"); this is
+the north-rule addition.  Round-trip is bit-exact (tests/test_codec.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = b"TSG1"
+_HEADER = struct.Struct("<4sIqqQII")
+
+
+def _pack_bytes(b: np.ndarray, tz: np.ndarray, sl: np.ndarray) -> np.ndarray:
+    """Gather significant bytes [tz, tz+sl) from each row of the (n,8)
+    little-endian byte matrix ``b`` into one contiguous payload array."""
+    n = len(sl)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sl, out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    row_idx = np.repeat(np.arange(n), sl)
+    col_idx = np.arange(total) - np.repeat(offs[:-1], sl) + np.repeat(tz, sl)
+    return b[row_idx, col_idx]
+
+
+def _unpack_bytes(payload: np.ndarray, tz: np.ndarray, sl: np.ndarray) -> np.ndarray:
+    """Inverse of `_pack_bytes`: scatter payload back into an (n,8) zero
+    matrix and return the uint64 view."""
+    n = len(sl)
+    out = np.zeros((n, 8), dtype=np.uint8)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sl, out=offs[1:])
+    total = int(offs[-1])
+    if total:
+        row_idx = np.repeat(np.arange(n), sl)
+        col_idx = np.arange(total) - np.repeat(offs[:-1], sl) + np.repeat(tz, sl)
+        out[row_idx, col_idx] = payload[:total]
+    return out.view("<u8").ravel()
+
+
+def _significance(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-value (byte_matrix, trailing_zero_bytes, significant_len)."""
+    b = x.view("<u8").reshape(-1, 1).view(np.uint8).reshape(-1, 8)
+    nz = b != 0
+    any_nz = nz.any(axis=1)
+    first = np.argmax(nz, axis=1).astype(np.int64)
+    last = (7 - np.argmax(nz[:, ::-1], axis=1)).astype(np.int64)
+    tz = np.where(any_nz, first, 0)
+    sl = np.where(any_nz, last - first + 1, 0)
+    return b, tz, sl
+
+
+def encode_values(v: np.ndarray) -> tuple[bytes, bytes, np.uint64]:
+    """XOR-encode float64 array → (controls, payload, first_value_bits)."""
+    u = np.ascontiguousarray(v, dtype=np.float64).view("<u8")
+    if len(u) == 0:
+        return b"", b"", np.uint64(0)
+    x = u[1:] ^ u[:-1]
+    b, tz, sl = _significance(x)
+    ctrl = ((tz.astype(np.uint8) << 4) | sl.astype(np.uint8)).tobytes()
+    payload = _pack_bytes(b, tz, sl).tobytes()
+    return ctrl, payload, u[0]
+
+
+def decode_values(ctrl: bytes, payload: bytes, first_bits: np.uint64, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    c = np.frombuffer(ctrl, dtype=np.uint8)
+    tz = (c >> 4).astype(np.int64)
+    sl = (c & 0x0F).astype(np.int64)
+    x = _unpack_bytes(np.frombuffer(payload, dtype=np.uint8), tz, sl)
+    u = np.empty(n, dtype=np.uint64)
+    u[0] = first_bits
+    u[1:] = x
+    np.bitwise_xor.accumulate(u, out=u)
+    return u.view(np.float64)
+
+
+def _zigzag(d: np.ndarray) -> np.ndarray:
+    return ((d << 1) ^ (d >> 63)).view(np.uint64)
+
+
+def _unzigzag(z: np.ndarray) -> np.ndarray:
+    zi = z.view(np.int64)
+    return (z >> np.uint64(1)).view(np.int64) ^ -(zi & 1)
+
+
+def encode_timestamps(ts: np.ndarray) -> tuple[bytes, bytes, int, int]:
+    """Delta-of-delta encode int64 µs timestamps →
+    (controls, payload, first_ts, first_delta)."""
+    t = np.ascontiguousarray(ts, dtype=np.int64)
+    n = len(t)
+    first_ts = int(t[0]) if n else 0
+    first_delta = int(t[1] - t[0]) if n > 1 else 0
+    if n < 3:
+        return b"", b"", first_ts, first_delta
+    d = np.diff(t)
+    dod = d[1:] - d[:-1]
+    z = _zigzag(dod)
+    b, _, _ = _significance(z)
+    # zigzag values are low-byte significant: tz is 0, sl = index of last
+    # nonzero byte + 1.
+    nz = b != 0
+    any_nz = nz.any(axis=1)
+    sl = np.where(any_nz, 8 - np.argmax(nz[:, ::-1], axis=1).astype(np.int64), 0)
+    tz = np.zeros(len(sl), dtype=np.int64)
+    ctrl = sl.astype(np.uint8).tobytes()
+    payload = _pack_bytes(b, tz, sl).tobytes()
+    return ctrl, payload, first_ts, first_delta
+
+
+def decode_timestamps(ctrl: bytes, payload: bytes, first_ts: int, first_delta: int, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first_ts
+    if n == 1:
+        return out
+    if n == 2:
+        out[1] = first_ts + first_delta
+        return out
+    sl = np.frombuffer(ctrl, dtype=np.uint8).astype(np.int64)
+    tz = np.zeros(len(sl), dtype=np.int64)
+    z = _unpack_bytes(np.frombuffer(payload, dtype=np.uint8), tz, sl)
+    dod = _unzigzag(z)
+    d = np.empty(n - 1, dtype=np.int64)
+    d[0] = first_delta
+    d[1:] = dod
+    np.cumsum(d, out=d)  # delta-of-delta prefix → per-step deltas
+    np.cumsum(d, out=d)  # deltas prefix → offsets from first_ts
+    out[1:] = first_ts + d
+    return out
+
+
+def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode one (timestamps µs, float64 values) series chunk to a blob."""
+    n = len(values)
+    assert len(ts_us) == n
+    tc, tp, first_ts, first_delta = encode_timestamps(ts_us)
+    vc, vp, first_bits = encode_values(values)
+    header = _HEADER.pack(
+        _MAGIC, n, first_ts, first_delta, int(first_bits), len(tp), len(vp)
+    )
+    return b"".join([header, tc, tp, vc, vp])
+
+
+def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a blob → (timestamps int64 µs, values float64)."""
+    magic, n, first_ts, first_delta, first_bits, tp_len, vp_len = _HEADER.unpack_from(
+        blob, 0
+    )
+    if magic != _MAGIC:
+        raise ValueError("bad blob magic")
+    off = _HEADER.size
+    tc_len = max(n - 2, 0)
+    vc_len = max(n - 1, 0)
+    tc = blob[off : off + tc_len]
+    off += tc_len
+    tp = blob[off : off + tp_len]
+    off += tp_len
+    vc = blob[off : off + vc_len]
+    off += vc_len
+    vp = blob[off : off + vp_len]
+    ts = decode_timestamps(tc, tp, first_ts, first_delta, n)
+    vals = decode_values(vc, vp, np.uint64(first_bits), n)
+    return ts, vals

@@ -1,0 +1,197 @@
+"""Gap filling — Spark realization of ``fill_gaps_plus``.
+
+Reference semantics (``src/tsforge/preprocessing/fill_gaps.py:6-111`` and
+the demo variant ``src/tsforge/workflows/nixtla_demo.py:45-123``):
+
+- per-id complete grid from each series' own min..max at a fixed freq;
+- target fill ∈ {zero, nan, mean, median};
+- static covariates replicated into gap rows (dedup + join,
+  ``fill_gaps.py:76-81``);
+- dynamic covariates filled ∈ {zero, ffill, interpolate, nan}
+  (``fill_gaps.py:91-104``).
+
+Interpolation edge semantics differ between the two reference code paths
+(SURVEY.md §7.4.5) and both are preserved:
+
+- ``method="pandas"`` = ``Series.interpolate()``: leading gaps stay null,
+  trailing gaps carry the last value forward (``fill_gaps.py:99-100``);
+- ``method="clamp"``  = ``np.interp``: both edges clamp to the nearest
+  known value (``nixtla_demo.py:485-489``).
+
+Two implementations with identical results (tested against each other):
+``use_udf=False`` is pure column expressions (locf window + lead-side
+locf + linear formula — oracle-checkable in ANSI SQL); ``use_udf=True``
+runs vectorized numpy inside ``applyInPandas`` per series — the
+north-rule hot path (no per-row Python; Arrow batches end-to-end).
+
+Scale note: the grid explode multiplies rows by (span/freq)/n_obs; the
+join back to actuals is on ``(id, bucket)`` with both sides partitioned by
+id — co-partitioned sort-merge, no broadcast needed.  Window fills are
+per-id ordered windows: one shuffle on id shared by every fill column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsforge_spark.operators.rollup import TIER_TRUNC, bucket_expr
+
+_FREQ_INTERVAL = {
+    "1m": "interval 1 minute",
+    "1h": "interval 1 hour",
+    "1d": "interval 1 day",
+    "1w": "interval 7 days",
+}
+_FREQ_US = {"1m": 60e6, "1h": 3600e6, "1d": 86400e6, "1w": 7 * 86400e6}
+
+
+def complete_grid(df: DataFrame, id_col: str, time_col: str, freq: str) -> DataFrame:
+    """Per-id dense bucket grid over each series' own [min, max] span —
+    ``sequence() + explode`` (SURVEY.md §2.9); the timestamps must already
+    be bucket-aligned (use ``bucket_expr`` first)."""
+    spans = df.groupBy(id_col).agg(
+        F.min(time_col).alias("_lo"), F.max(time_col).alias("_hi")
+    )
+    return spans.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, {_FREQ_INTERVAL[freq]})")
+        ).alias(time_col),
+    )
+
+
+def locf(df: DataFrame, cols: list[str], id_col: str, time_col: str) -> DataFrame:
+    """Per-id forward fill: ``F.last(ignorenulls=True)`` over an
+    unbounded-preceding window (``fill_gaps.py:97-98``)."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def _interp_exprs(df: DataFrame, col: str, id_col: str, time_col: str, method: str) -> DataFrame:
+    """Pure-SQL linear interpolation: locf of (last value, its ts) +
+    reverse locf of (next value, its ts) + the linear formula."""
+    wb = (
+        Window.partitionBy(id_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(id_col)
+        .orderBy(time_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col(time_col))
+    known_ts = F.when(F.col(col).isNotNull(), t)
+    prev_v = F.last(col, ignorenulls=True).over(wb)
+    prev_t = F.last(known_ts, ignorenulls=True).over(wb)
+    next_v = F.first(col, ignorenulls=True).over(wf)
+    next_t = F.first(known_ts, ignorenulls=True).over(wf)
+    interior = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    if method == "pandas":
+        edge = F.when(prev_v.isNull(), F.lit(None).cast("double")).otherwise(prev_v)
+    elif method == "clamp":
+        edge = F.coalesce(prev_v, next_v)
+    else:
+        raise ValueError(f"unknown interpolation method: {method}")
+    filled = (
+        F.when(F.col(col).isNotNull(), F.col(col))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interior)
+        .otherwise(edge)
+    )
+    return df.withColumn(col, filled)
+
+
+def _interp_udf(df: DataFrame, col: str, id_col: str, time_col: str, method: str) -> DataFrame:
+    """Vectorized per-series interpolation inside ``applyInPandas`` —
+    numpy on whole Arrow batches, never per-row Python."""
+    schema = df.schema
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        y = pdf[col].to_numpy(dtype=np.float64)
+        mask = ~np.isnan(y)
+        if mask.any() and not mask.all():
+            t = pdf[time_col].to_numpy("datetime64[us]").astype(np.int64)
+            yi = np.interp(t, t[mask], y[mask])  # clamps both edges
+            if method == "pandas":
+                first = np.argmax(mask)
+                yi[:first] = np.nan  # leading gaps stay null
+            y = np.where(mask, y, yi)
+            pdf = pdf.assign(**{col: y})
+        return pdf
+
+    return df.groupBy(id_col).applyInPandas(fill, schema=schema)
+
+
+def fill_gaps(
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    freq: str,
+    target_col: str | None = None,
+    target_fill: str = "zero",
+    static_cols: list[str] | None = None,
+    dynamic_fill: dict[str, str] | None = None,
+    method: str = "pandas",
+    use_udf: bool = False,
+) -> DataFrame:
+    """Full ``fill_gaps_plus`` equivalent (see module docstring).
+
+    ``target_fill`` ∈ {zero, nan, mean, median, locf, interpolate};
+    ``dynamic_fill`` maps column → {zero, ffill, interpolate, nan}.
+    Input timestamps must be bucket-aligned to ``freq``.
+    """
+    static_cols = static_cols or []
+    dynamic_fill = dynamic_fill or {}
+
+    grid = complete_grid(df.select(id_col, time_col), id_col, time_col, freq)
+    out = grid.join(df, [id_col, time_col], "left")
+
+    # Replicate static covariates into gap rows: dedup per id + broadcast
+    # join (``fill_gaps.py:76-81``) — statics are one row per id, always
+    # broadcastable.
+    if static_cols:
+        statics = df.select(id_col, *static_cols).dropDuplicates([id_col])
+        out = out.drop(*static_cols).join(F.broadcast(statics), id_col, "left")
+
+    if target_col is not None:
+        tf = target_fill
+        if tf == "zero":
+            out = out.withColumn(target_col, F.coalesce(target_col, F.lit(0.0)))
+        elif tf in ("mean", "median"):
+            w = Window.partitionBy(id_col)
+            stat = (
+                F.avg(target_col).over(w)
+                if tf == "mean"
+                else F.expr(f"percentile({target_col}, 0.5)").over(w)
+            )
+            out = out.withColumn(target_col, F.coalesce(target_col, stat))
+        elif tf == "locf":
+            out = locf(out, [target_col], id_col, time_col)
+        elif tf == "interpolate":
+            fn = _interp_udf if use_udf else _interp_exprs
+            out = fn(out, target_col, id_col, time_col, method)
+        elif tf != "nan":
+            raise ValueError(f"unknown target_fill: {tf}")
+
+    for c, mode in dynamic_fill.items():
+        if mode == "zero":
+            out = out.withColumn(c, F.coalesce(c, F.lit(0.0)))
+        elif mode == "ffill":
+            out = locf(out, [c], id_col, time_col)
+        elif mode == "interpolate":
+            fn = _interp_udf if use_udf else _interp_exprs
+            out = fn(out, c, id_col, time_col, method)
+        elif mode != "nan":
+            raise ValueError(f"unknown dynamic_fill mode: {mode}")
+    return out

@@ -1,0 +1,307 @@
+"""End-to-end rollup pipeline: ingest → 1m/1h/1d tiers → Gorilla blobs,
+incremental, resumable, with lineage + metrics.
+
+Dataflow (full or incremental — same code path):
+
+  snapshot delta (SnapshotStore.read after checkpoint)
+    → prepare: null-key drop, (conv_id, turn_idx) dedup (in-delta +
+      against already-ingested turns for affected buckets), hash-bucket
+      repartition + sortWithinPartitions(conv_id, ts, turn_idx)   [§4.2.2]
+    → canonical ordered turns store (partitioned by bucket_id) — the
+      per-turn text-equality invariant surface
+    → 1m tier: groupBy(conv_id, date_trunc(minute, ts)) partial aggs;
+      *merge* into existing cells by re-folding only the affected day
+      partitions (dynamic partition overwrite ≈ Iceberg MERGE INTO)
+    → 1h, 1d tiers: re-fold affected days from the finer tier (reads
+      1/60th resp. 1/24th of the touched rows — continuous aggregates)
+    → blobs: re-encode only affected (conv, segment) chunks
+    → lineage rows (job, stage, snapshot range, bucket_id, rows, bytes)
+      + per-stage metrics (jsonl) + checkpoint commit.
+
+A late turn therefore invalidates exactly the 1m day-partitions it lands
+in and their 1h/1d ancestors — nothing else is read or rewritten
+(SURVEY.md §7.4.6); tests/test_incremental.py diffs this against a full
+recompute.
+
+Scale notes: all tier stores are partitioned by event day so incremental
+runs prune at the directory level; merges stage to a scratch dir then
+dynamic-overwrite only touched partitions (on Iceberg this whole dance is
+one ``MERGE INTO`` with snapshot isolation).  The per-group encode kernel
+is bounded by segment size, so hot conversations cannot straggle (see
+codec/blobs.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsforge_spark.codec.blobs import SEGMENT_TRUNC, decode_blobs, encode_tier_blobs
+from tsforge_spark.operators.rollup import fold_tier, rollup_transcripts
+from tsforge_spark.plans.lineage import MetricsLog, bucket_counts, lineage_rows, new_job_id
+from tsforge_spark.sources.snapshots import SnapshotStore
+
+TIERS = ["1m", "1h", "1d"]
+
+
+class RollupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        out_dir: str,
+        n_buckets: int = 32,
+        measures: tuple[str, ...] = ("turns", "tool_calls"),
+        dedup_against_history: bool = True,
+    ):
+        self.spark = spark
+        self.store = store
+        self.out = out_dir
+        self.n_buckets = n_buckets
+        self.measures = measures
+        self.dedup_against_history = dedup_against_history
+        os.makedirs(out_dir, exist_ok=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ---- paths ----
+    def tier_path(self, tier: str) -> str:
+        return os.path.join(self.out, "tiers", tier)
+
+    @property
+    def turns_path(self) -> str:
+        return os.path.join(self.out, "turns")
+
+    @property
+    def blobs_path(self) -> str:
+        return os.path.join(self.out, "blobs")
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.out, "lineage")
+
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.out, "_checkpoint.json")
+
+    def checkpoint(self) -> dict:
+        if os.path.exists(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                return json.load(f)
+        return {"last_snapshot_id": 0, "runs": 0}
+
+    def _commit_checkpoint(self, ckpt: dict) -> None:
+        tmp = self._ckpt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ckpt, f, indent=1)
+        os.replace(tmp, self._ckpt_path)
+
+    def _read_if_exists(self, path: str) -> DataFrame | None:
+        if not os.path.exists(path):
+            return None
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # ---- stages ----
+    def _prepare(self, delta: DataFrame) -> DataFrame:
+        """Clean + dedup + canonical bucketed/ordered layout."""
+        clean = (
+            delta.dropna(subset=["conv_id", "turn_idx", "ts"])
+            .dropDuplicates(["conv_id", "turn_idx"])
+            .withColumn(
+                "bucket_id",
+                F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+        existing = self._read_if_exists(self.turns_path)
+        if self.dedup_against_history and existing is not None:
+            # exactly-once ingest: drop turns already processed; prune to
+            # affected bucket partitions only.
+            keys = existing.select("bucket_id", "conv_id", "turn_idx")
+            clean = clean.join(
+                keys, ["bucket_id", "conv_id", "turn_idx"], "left_anti"
+            )
+        return clean.repartition(self.n_buckets, "bucket_id").sortWithinPartitions(
+            "conv_id", "ts", "turn_idx"
+        )
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.out, "_staging", name)
+
+    def _merge_partitions(
+        self, new_df: DataFrame, target: str, partition_col: str, stage: str
+    ) -> None:
+        """Materialize to staging, then dynamic-overwrite only the
+        partitions present in ``new_df`` (Iceberg: MERGE INTO)."""
+        staging = self._stage_dir(stage)
+        shutil.rmtree(staging, ignore_errors=True)
+        new_df.write.mode("overwrite").parquet(staging)
+        (
+            self.spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target)
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # ---- main entry ----
+    def run(self) -> dict:
+        """Process every snapshot after the checkpoint; no-op when
+        up-to-date.  Returns per-stage metrics incl. turns/sec."""
+        t0 = time.time()
+        ckpt = self.checkpoint()
+        last = self.store.last_snapshot_id()
+        after = ckpt["last_snapshot_id"]
+        if last <= after:
+            return {"status": "up-to-date", "last_snapshot_id": after}
+        job_id = new_job_id()
+        metrics = MetricsLog(os.path.join(self.out, "metrics.jsonl"), job_id)
+
+        delta = self.store.read(self.spark, after=after, upto=last)
+        # Materialize the prepared delta to immutable staging files FIRST:
+        # `_prepare` anti-joins against the turns store, so once we append
+        # to that store any lazy recomputation of the plan would see its
+        # own output and produce an empty delta.  Staging breaks the
+        # self-referential lineage (on Iceberg, snapshot isolation of the
+        # MERGE does this for free).
+        ingest_staging = self._stage_dir("ingest")
+        shutil.rmtree(ingest_staging, ignore_errors=True)
+        self._prepare(delta).write.mode("overwrite").parquet(ingest_staging)
+        clean = self.spark.read.parquet(ingest_staging)
+        n_turns = clean.count()
+        metrics.log("ingest", rows=n_turns, snapshots=[after + 1, last])
+
+        if n_turns == 0:
+            shutil.rmtree(ingest_staging, ignore_errors=True)
+            ckpt.update(last_snapshot_id=last, runs=ckpt["runs"] + 1)
+            self._commit_checkpoint(ckpt)
+            return {"status": "empty-delta", "turns": 0}
+
+        # canonical ordered turns store (append — rows are new by dedup)
+        clean.write.mode("append").partitionBy("bucket_id").parquet(self.turns_path)
+
+        # lineage at the hash-bucket grain
+        counts = [
+            (r["bucket_id"], r["row_count"])
+            for r in bucket_counts(clean, self.n_buckets).collect()
+        ]
+        lineage_rows(
+            self.spark, job_id, "ingest", last, counts, detail=f"after={after}"
+        ).write.mode("append").parquet(self.lineage_path)
+
+        # ---- 1m tier: merge delta partials into affected day partitions
+        delta_1m = rollup_transcripts(clean.drop("bucket_id"), "1m").withColumn(
+            "day", F.to_date("bucket")
+        )
+        affected_days = [r["day"] for r in delta_1m.select("day").distinct().collect()]
+        cur_1m = self._read_if_exists(self.tier_path("1m"))
+        if cur_1m is not None:
+            old = cur_1m.filter(F.col("day").isin(affected_days))
+            merged_1m = fold_tier(
+                old.unionByName(delta_1m).drop("day"), "1m"
+            ).withColumn("day", F.to_date("bucket"))
+        else:
+            merged_1m = delta_1m
+        self._merge_partitions(merged_1m, self.tier_path("1m"), "day", "t1m")
+        metrics.log("tier_1m", affected_days=len(affected_days))
+
+        # ---- 1h / 1d tiers: re-fold affected days from the finer tier
+        upd_1m = self.spark.read.parquet(self.tier_path("1m")).filter(
+            F.col("day").isin(affected_days)
+        )
+        upd_1h = fold_tier(upd_1m.drop("day"), "1h").withColumn(
+            "day", F.to_date("bucket")
+        )
+        self._merge_partitions(upd_1h, self.tier_path("1h"), "day", "t1h")
+        upd_1h_read = self.spark.read.parquet(self.tier_path("1h")).filter(
+            F.col("day").isin(affected_days)
+        )
+        upd_1d = fold_tier(upd_1h_read.drop("day"), "1d").withColumn(
+            "day", F.to_date("bucket")
+        )
+        self._merge_partitions(upd_1d, self.tier_path("1d"), "day", "t1d")
+        metrics.log("tier_fold", tiers=["1h", "1d"])
+
+        # ---- blobs: re-encode affected (tier, segment) chunks
+        total_blob_bytes = 0
+        for tier in TIERS:
+            seg_unit = SEGMENT_TRUNC[tier]
+            tier_df = self.spark.read.parquet(self.tier_path(tier))
+            seg_of_day = [
+                r["seg"]
+                for r in self.spark.createDataFrame(
+                    [(d,) for d in affected_days], "day date"
+                )
+                .select(F.date_trunc(seg_unit, F.col("day").cast("timestamp")).alias("seg"))
+                .distinct()
+                .collect()
+            ]
+            affected = tier_df.filter(
+                F.date_trunc(seg_unit, F.col("bucket")).isin(seg_of_day)
+            )
+            blobs = encode_tier_blobs(affected.drop("day"), tier, self.measures)
+            blobs = blobs.withColumn("seg_day", F.to_date("segment")).withColumn(
+                "tier_part", F.lit(tier)
+            )
+            # partition by (tier_part, seg_day) so only touched segments
+            # are overwritten
+            staging = self._stage_dir(f"blobs_{tier}")
+            shutil.rmtree(staging, ignore_errors=True)
+            blobs.write.mode("overwrite").parquet(staging)
+            staged = self.spark.read.parquet(staging)
+            (
+                staged.write.mode("overwrite")
+                .partitionBy("tier_part", "seg_day")
+                .parquet(self.blobs_path)
+            )
+            tier_bytes = staged.agg(F.sum("blob_bytes")).collect()[0][0] or 0
+            shutil.rmtree(staging, ignore_errors=True)
+            total_blob_bytes += tier_bytes
+            metrics.log(f"blobs_{tier}", blob_bytes=int(tier_bytes))
+
+        shutil.rmtree(ingest_staging, ignore_errors=True)
+        ckpt.update(last_snapshot_id=last, runs=ckpt["runs"] + 1)
+        self._commit_checkpoint(ckpt)
+        wall = time.time() - t0
+        result = {
+            "status": "ok",
+            "job_id": job_id,
+            "turns": n_turns,
+            "wall_sec": wall,
+            "turns_per_sec": n_turns / wall,
+            "blob_bytes": int(total_blob_bytes),
+            "last_snapshot_id": last,
+            "affected_days": len(affected_days),
+        }
+        metrics.log("done", **{k: v for k, v in result.items() if k != "status"})
+        return result
+
+    # ---- verification surfaces ----
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.spark.read.parquet(self.tier_path(tier)).drop("day")
+
+    def read_blobs(self, tier: str | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.blobs_path)
+        return df.filter(F.col("tier") == tier) if tier else df
+
+    def decoded_series(self, tier: str) -> DataFrame:
+        return decode_blobs(self.read_blobs(tier))
+
+    def verify_text_equality(self, reference: DataFrame) -> int:
+        """Per-turn text equality under stable turn ordering vs a
+        reference frame (BASELINE.json invariant).  Returns the number of
+        mismatching turns (0 = invariant holds)."""
+        ours = self.spark.read.parquet(self.turns_path).select(
+            "conv_id", "turn_idx", F.col("text").alias("text_ours")
+        )
+        theirs = reference.select("conv_id", "turn_idx", "text")
+        joined = theirs.join(ours, ["conv_id", "turn_idx"], "full_outer")
+        return joined.filter(
+            ~F.col("text").eqNullSafe(F.col("text_ours"))
+        ).count()

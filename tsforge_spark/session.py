@@ -1,0 +1,73 @@
+"""SparkSession factory with engine defaults.
+
+Scale posture (SURVEY.md §4.2): AQE on (coalesce + skew-join splitting),
+Arrow on for every pandas-UDF boundary, shuffle partitions sized for the
+sandbox (``local[32]``) but overridable — on a real 1000-executor cluster
+these come from ``spark-submit --conf``; nothing here assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS: dict[str, str] = {
+    # Adaptive execution: runtime partition coalescing, skew-join split,
+    # dynamic broadcast demotion — the first line of defense at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for every pandas UDF / applyInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Parquet scans: keep row groups aligned with partition targets.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Deterministic session timezone — the engine contract is UTC µs.
+    "spark.sql.session.timeZone": "UTC",
+    # Quiet the UI in the sandbox; harmless on a cluster.
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "tsforge_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on
+    a cluster callers submit via ``spark-submit --py-files`` and never pass
+    ``master`` here.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # one shuffle partition per core locally; clusters override.
+        try:
+            shuffle_partitions = max(int(master.split("[")[1].rstrip("]*") or 32), 8)
+        except (IndexError, ValueError):
+            shuffle_partitions = 32
+
+    # Executor python workers must import this package for pandas-UDF
+    # closures.  On a cluster that's ``spark-submit --py-files`` (north
+    # rule); in local mode workers inherit PYTHONPATH from this process,
+    # so arm it before the JVM starts.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{pypath}" if pypath else pkg_parent
+        )
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("TSF_DRIVER_MEM", "8g"))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
