@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <turns/sec>, "unit": "turns/sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+- headline value: end-to-end pipeline throughput (ingest → 1m/1h/1d tiers
+  → Gorilla blobs, incl. lineage + checkpoint) on a deterministic
+  synthetic transcript table sized ∝ SF (FIXTURES.md: sf0.1 ≈ 20k convs /
+  ~1.2M turns), per BASELINE.json's north rule;
+- per-query timings: every catalog query at $SPARK_GRAFT_SF_DIR;
+- ``--scaling``: run the same pipeline at local[N] and local[4N] on the
+  same input and report throughput at both + efficiency (the sandbox
+  stand-in for the N vs 4N executor criterion) — also appended to
+  BENCH_SCALING.json.
+
+Usage: python bench.py [--scaling] [--skip-queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+
+METRIC = (
+    "turns/sec rolled up end-to-end (ingest -> 1m/1h/1d tiers with "
+    "Gorilla-compressed blobs)"
+)
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_pipeline(cores: int, n_convs: int, work_root: str) -> dict:
+    """One full pipeline run at a given parallelism; returns metrics."""
+    from tsforge_spark.fixtures import make_transcripts, transcripts_to_spark
+    from tsforge_spark.plans.pipeline import RollupPipeline
+    from tsforge_spark.session import get_spark
+    from tsforge_spark.sources.snapshots import SnapshotStore
+
+    spark = get_spark(
+        f"tsforge-bench-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    try:
+        pdf = make_transcripts(n_convs=n_convs, seed=42, mean_turns=60)
+        store_dir = os.path.join(work_root, f"store_{cores}")
+        out_dir = os.path.join(work_root, f"out_{cores}")
+        store = SnapshotStore(store_dir)
+        store.append(transcripts_to_spark(spark, pdf))
+        pipe = RollupPipeline(
+            spark, store, out_dir, n_buckets=max(cores * 2, 16)
+        )
+        res = pipe.run()
+        res["n_convs"] = n_convs
+        res["cores"] = cores
+        return res
+    finally:
+        spark.stop()
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from tsforge_spark.catalog import QUERIES
+    from tsforge_spark.session import get_spark
+
+    spark = get_spark("tsforge-bench-queries", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    timings: dict[str, float] = {}
+    try:
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution without driver transfer
+            timings[name] = round(time.time() - t0, 3)
+            _ = n
+    finally:
+        spark.stop()
+    return timings
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    skip_queries = "--skip-queries" in sys.argv
+    sf = _sf_from_dir(SF_DIR)
+    n_convs = max(int(200_000 * sf), 200)
+    work_root = tempfile.mkdtemp(prefix="tsforge_bench_")
+    extras: dict = {}
+    try:
+        if scaling:
+            n_small = max(CPUS // 4, 2)
+            r_small = run_pipeline(n_small, n_convs, work_root)
+            r_big = run_pipeline(CPUS, n_convs, work_root)
+            eff = (r_big["turns_per_sec"] / r_small["turns_per_sec"]) / (
+                CPUS / n_small
+            )
+            extras["scaling"] = {
+                "cores_small": n_small,
+                "cores_big": CPUS,
+                "turns_per_sec_small": round(r_small["turns_per_sec"], 1),
+                "turns_per_sec_big": round(r_big["turns_per_sec"], 1),
+                "efficiency": round(eff, 3),
+                "speedup": round(
+                    r_big["turns_per_sec"] / r_small["turns_per_sec"], 2
+                ),
+            }
+            with open("BENCH_SCALING.json", "w") as f:
+                json.dump(extras["scaling"], f, indent=1)
+            main_run = r_big
+        else:
+            main_run = run_pipeline(CPUS, n_convs, work_root)
+
+        queries = {} if skip_queries else run_queries(SF_DIR)
+
+        out = {
+            "metric": METRIC,
+            "value": round(main_run["turns_per_sec"], 1),
+            "unit": "turns/sec",
+            "queries": queries,
+            "sf": sf,
+            "turns": main_run["turns"],
+            "pipeline_wall_sec": round(main_run["wall_sec"], 2),
+            "blob_bytes": main_run["blob_bytes"],
+            "cores": CPUS,
+            **extras,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work_root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Operator tests: outliers, intermittency, diagnostics, CV, ensembles,
+encoders, dedup, similarity, text, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsforge_spark.functions.encoders import (
+    frequency_encode,
+    hash_encode,
+    one_hot_encode,
+    ordinal_encode_by_freq,
+    target_mean_encode,
+)
+from tsforge_spark.operators.cv import (
+    cv_cutoffs,
+    cv_folds,
+    ensemble_combine,
+    future_frame,
+    naive_last_window_mean,
+)
+from tsforge_spark.operators.diagnostics import (
+    duplicate_keys,
+    missing_buckets,
+    peak_period,
+    series_diagnostics,
+)
+from tsforge_spark.operators.intermittency import intermittency_stats
+from tsforge_spark.operators.outliers import correct_outliers, flag_outliers
+from tsforge_spark.operators.similarity import brute_force_topk, ivf_topk
+from tsforge_spark.operators.text import add_lang_id, add_quality_score
+
+
+def test_outlier_flag_zscore(spark, panel, panel_pdf):
+    got = flag_outliers(panel, "y", "unique_id", "zscore", 3.0).toPandas()
+    # fixture injects ~2 spikes of +8σ per series → most series flag ≥1
+    per = got.groupby("unique_id")["is_outlier"].sum()
+    assert (per >= 1).mean() > 0.7
+    # oracle for one series
+    one = panel_pdf[panel_pdf.unique_id == "series_001"]
+    z = (one["y"] - one["y"].mean()) / one["y"].std(ddof=1)
+    want = (z.abs() > 3).sum()
+    assert per["series_001"] == want
+
+
+def test_outlier_correct_winsorize_and_interp(spark, panel):
+    w = (
+        correct_outliers(panel, "y", "unique_id", "zscore", 3.0, "winsorize")
+        .toPandas()
+        .sort_values(["unique_id", "ds"])
+        .reset_index(drop=True)
+    )
+    before = (
+        flag_outliers(panel, "y", "unique_id", "zscore", 3.0)
+        .toPandas()
+        .sort_values(["unique_id", "ds"])
+        .reset_index(drop=True)
+    )
+    changed = w["y"] != before["y"]
+    # only flagged rows change, and every flagged row is pulled to a bound
+    assert (changed == before["is_outlier"].astype(bool)).all()
+    assert before["is_outlier"].sum() > 0
+    # clipped values are within each series' original [mean±3σ] bounds
+    stats = before.groupby("unique_id")["y"].agg(["mean", "std"])
+    bounds = before["unique_id"].map(stats["mean"]) + 3 * before["unique_id"].map(
+        stats["std"]
+    )
+    assert (w["y"] <= bounds + 1e-9).all()
+    it = correct_outliers(
+        panel, "y", "unique_id", "zscore", 3.0, "interpolate", time_col="ds"
+    ).toPandas()
+    assert it["y"].notna().all()
+
+
+def test_intermittency_classification(spark):
+    pdf = pd.DataFrame(
+        {
+            "uid": ["smooth"] * 20 + ["lumpy"] * 20,
+            "ds": list(pd.date_range("2024-01-01", periods=20, freq="D")) * 2,
+            "y": [10.0, 11.0, 9.0, 10.5] * 5
+            + [0, 0, 0, 50, 0, 0, 0, 0, 1, 0, 0, 0, 80, 0, 0, 0, 2, 0, 0, 0],
+        }
+    )
+    got = intermittency_stats(
+        spark.createDataFrame(pdf), "uid", "ds", "y"
+    ).toPandas().set_index("uid")
+    assert got.loc["smooth", "sbc_class"] == "smooth"
+    assert got.loc["lumpy", "sbc_class"] in ("lumpy", "intermittent")
+    assert got.loc["lumpy", "pct_zero"] == 80.0
+
+
+def test_series_diagnostics_and_dups(spark, panel, panel_pdf):
+    d = series_diagnostics(panel, "unique_id", "ds", freq_seconds=86400).toPandas()
+    one = panel_pdf[panel_pdf.unique_id == "series_000"]
+    row = d[d.unique_id == "series_000"].iloc[0]
+    assert row["n_obs"] == len(one)
+    assert row["missing_obs"] == (
+        (one["ds"].max() - one["ds"].min()).days + 1 - len(one)
+    )
+    dup = duplicate_keys(
+        panel.unionByName(panel.limit(5)), ["unique_id", "ds"]
+    ).toPandas()
+    assert len(dup) == 5
+
+
+def test_peak_period_and_missing_buckets(spark, panel, panel_pdf):
+    p = peak_period(panel, "unique_id", "ds", "y", "month").toPandas()
+    one = panel_pdf[panel_pdf.unique_id == "series_002"].copy()
+    one["m"] = one["ds"].dt.month
+    want = one.groupby("m")["y"].mean().idxmax()
+    assert p[p.unique_id == "series_002"]["peak_month"].iloc[0] == want
+    miss = missing_buckets(panel, "unique_id", "ds", "1d").toPandas()
+    grp = miss.groupby("unique_id").size()
+    for uid, g in panel_pdf.groupby("unique_id"):
+        expect = (g["ds"].max() - g["ds"].min()).days + 1 - len(g)
+        assert grp.get(uid, 0) == expect
+
+
+def test_cv_plan_and_baseline(spark, panel, panel_pdf):
+    cutoffs = cv_cutoffs(panel, "ds", 3, 7)
+    last = panel_pdf["ds"].max()
+    assert cutoffs[-1] == last - pd.Timedelta(days=7)
+    folds = cv_folds(panel, "ds", cutoffs, 7).toPandas()
+    assert folds["cutoff"].nunique() == 3
+    assert (folds["ds"] > folds["cutoff"]).all()
+    ff = future_frame(panel, "unique_id", "ds", 5, "1d").toPandas()
+    assert (ff.groupby("unique_id").size() == 5).all()
+    nb = naive_last_window_mean(panel, "unique_id", "ds", "y", 7, 5, "1d").toPandas()
+    one = panel_pdf[panel_pdf.unique_id == "series_000"].sort_values("ds")
+    want = one["y"].tail(7).mean()
+    assert abs(nb[nb.unique_id == "series_000"]["yhat"].iloc[0] - want) < 1e-9
+
+
+def test_ensemble_combine_modes(spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3], "yhat": [1.0, 2.0, 3.0]})
+    m1 = spark.createDataFrame(pdf)
+    m2 = spark.createDataFrame(pdf.assign(yhat=[3.0, 4.0, 8.0]))
+    m3 = spark.createDataFrame(pdf.assign(yhat=[2.0, 0.0, 1.0]))
+    mean = ensemble_combine([m1, m2, m3], ["k"], mode="mean").toPandas().sort_values("k")
+    assert mean["yhat"].tolist() == [2.0, 2.0, 4.0]
+    med = ensemble_combine([m1, m2, m3], ["k"], mode="median").toPandas().sort_values("k")
+    assert med["yhat"].tolist() == [2.0, 2.0, 3.0]
+    wt = ensemble_combine([m1, m2], ["k"], mode="weighted", weights=[3, 1]).toPandas().sort_values("k")
+    assert wt["yhat"].tolist() == [1.5, 2.5, 4.25]
+
+
+def test_encoders(spark):
+    pdf = pd.DataFrame(
+        {"cat": ["a", "a", "a", "b", "b", "c"], "y": [10.0, 20.0, 30.0, 5.0, 15.0, 100.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    tme = target_mean_encode(df, "cat", "y", smoothing=2.0).toPandas()
+    g = pdf.groupby("cat")["y"].agg(["mean", "count"])
+    w = g["count"] / (g["count"] + 2.0)
+    want = w * g["mean"] + (1 - w) * pdf["y"].mean()
+    got = tme.drop_duplicates("cat").set_index("cat")["cat_tme"]
+    for k in ["a", "b", "c"]:
+        assert abs(got[k] - want[k]) < 1e-9
+    fe = frequency_encode(df, "cat").toPandas()
+    assert fe[fe.cat == "a"]["cat_freq"].iloc[0] == 3
+    oh = one_hot_encode(df, "cat").toPandas()
+    assert oh["cat_a"].sum() == 3 and oh["cat_c"].sum() == 1
+    orde = ordinal_encode_by_freq(df, "cat").toPandas().drop_duplicates("cat")
+    assert orde.set_index("cat")["cat_ord"].to_dict() == {"a": 0, "b": 1, "c": 2}
+    he = hash_encode(df, "cat", 8).toPandas()
+    assert he["cat_hash"].between(0, 7).all()
+    assert he.groupby("cat")["cat_hash"].nunique().max() == 1
+
+
+def test_text_ops(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat sat on the mat, and it was good.",
+                "der hund ist nicht ein katze und das ist gut",
+                "xyzzy qwerty",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    q = add_quality_score(df).toPandas().set_index("doc_id")
+    assert q.loc[1, "n_words"] == 10
+    assert q.loc[1, "quality_score"] == 1.0
+    lid = add_lang_id(df).toPandas().set_index("doc_id")
+    assert lid.loc[1, "pred_lang"] == "en"
+    assert lid.loc[2, "pred_lang"] == "de"
+    assert lid.loc[3, "pred_lang"] == "und"
+
+
+def test_dedup_exact_and_minhash(spark):
+    from tsforge_spark.operators.dedup import (
+        dedup_exact,
+        lsh_candidate_pairs,
+        ngram_jaccard,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base, near, "completely different words entirely here now"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = dedup_exact(df, "text", "doc_id").toPandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4]
+    pairs = lsh_candidate_pairs(df, "doc_id", "text", k_hashes=8, bands=4)
+    jac = ngram_jaccard(pairs, df, "doc_id", "text").toPandas()
+    dup = jac[(jac.id_a == 1) & (jac.id_b == 2)]
+    assert len(dup) == 1 and dup["jaccard"].iloc[0] == 1.0
+    near_pair = jac[(jac.id_a.isin([1, 2])) & (jac.id_b == 3)]
+    assert (near_pair["jaccard"] > 0.3).all()
+
+
+def test_similarity_topk(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    vecs[7] = vecs[0] + rng.normal(scale=0.01, size=8).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    q = vecs[0].tolist()
+    top = brute_force_topk(df.filter(F.col("vec_id") != 0), q, 3).toPandas()
+    assert top["vec_id"].iloc[0] == 7  # the planted near-duplicate
+    # numpy oracle
+    sims = (vecs @ vecs[0]) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    order = [i for i in np.argsort(-sims) if i != 0][:3]
+    assert top["vec_id"].tolist() == order
+    cents = [(i, vecs[i].tolist()) for i in range(4)]
+    ivf = ivf_topk(df.filter(F.col("vec_id") != 0), cents, q, 3, n_probe=2).toPandas()
+    assert 7 in ivf["vec_id"].tolist()
+
+
+def test_multimodal_plumbing(spark):
+    from tsforge_spark.operators.multimodal import (
+        decode_image_features,
+        make_fake_media,
+        media_metadata,
+    )
+
+    media = make_fake_media(spark, n=30)
+    meta = media_metadata(media)
+    # metadata projection must not read the payload column (pruning)
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    mpdf = meta.toPandas()
+    assert len(mpdf) == 30 and (mpdf["n_bytes"] > 0).all()
+    feats = decode_image_features(media, dim=8, fake=True).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats["feature"])
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        decode_image_features(media, dim=8, fake=False).collect()

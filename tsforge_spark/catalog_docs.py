@@ -1,0 +1,376 @@
+"""Catalog batch 2: training-data operators over ``documents`` /
+``embeddings`` — dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + IVF), text analysis
+(lang-ID, quality, token counts, fingerprint).
+
+Oracle exactness: all hashing is md5-derived (portable); cosine math is
+element-indexed double arithmetic in identical order on both sides;
+near-tie float ordering is avoided by deterministic id tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tsforge_spark.operators.dedup import (
+    add_minhash,
+    exact_dedup_clusters,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash16,
+)
+from tsforge_spark.operators.similarity import brute_force_topk, cosine, ivf_topk
+from tsforge_spark.operators.text import (
+    STOPWORDS,
+    add_fingerprint,
+    add_lang_id,
+    add_quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------------ text
+
+
+def q_text_quality(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return add_quality_score(d).select(
+        "doc_id", "n_words", "n_punct", "stop_ratio", "quality_score"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    out = add_lang_id(d)
+    return out.select(
+        "doc_id", "lang", "pred_lang",
+        *[F.col(f"hits_{lg}") for lg in sorted(STOPWORDS)],
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return add_fingerprint(d).select("doc_id", "fingerprint")
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def q_dedup_clusters(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return exact_dedup_clusters(d, ["doc_id"], "text")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return add_minhash(d.select("doc_id", "text"), "text", k_hashes=4).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3"
+    )
+
+
+def q_minhash_lsh_jaccard(spark, sf_dir):
+    """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
+    exact shingle-Jaccard verification; keep pairs with jaccard ≥ 0.2."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", k_hashes=8, bands=4)
+    jac = ngram_jaccard(pairs, d, "doc_id", "text")
+    return jac.filter(F.col("jaccard") >= 0.2)
+
+
+def q_simhash(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup within label blocks, cosine ≥ 0.30 (threshold fits the synthetic embedding spread)."""
+    e = _read(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("label").alias("blk"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("label").alias("blk"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 9).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.30)
+
+
+# ------------------------------------------------------------ similarity
+
+
+def _query_vec(spark, sf_dir, vid=0):
+    e = _read(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == vid).collect()[0]["embedding"]
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 neighbors of vec_id=0 (excluded)."""
+    e = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf_dir, 0)
+    out = brute_force_topk(e, q, 10)
+    return out.select("vec_id", F.round("cosine", 9).alias("cos_sim"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF top-10: centroids = vec_ids 0..15, probe the 2 nearest cells."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    q = _query_vec(spark, sf_dir, 0)
+    out = ivf_topk(e.filter(F.col("vec_id") != 0), cents, q, 10, n_probe=2)
+    return out.select("vec_id", "cell", F.round("cosine", 9).alias("cos_sim"))
+
+
+# ----------------------------------------------------------------- SQL
+
+_TOKS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+
+def _sql_stophits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({_TOKS}, t -> list_contains([{words}], t)))"
+    )
+
+
+ORACLES_DOCS: dict[str, str] = {}
+
+ORACLES_DOCS["text_quality"] = f"""
+    WITH b AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_TOKS}) AS n_words,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+             {_sql_stophits('en')} AS n_stop
+      FROM documents)
+    SELECT doc_id, n_words, n_punct,
+           n_stop / CAST(n_words AS DOUBLE) AS stop_ratio,
+           (CASE WHEN n_words >= 5 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN n_stop / CAST(n_words AS DOUBLE) >= 0.01
+                    AND n_stop / CAST(n_words AS DOUBLE) <= 0.6 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN n_punct / CAST(n_chars AS DOUBLE) <= 0.2 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) >= 2
+                    AND (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) <= 12
+                   THEN 0.25 ELSE 0.0 END) AS quality_score
+    FROM b
+"""
+
+ORACLES_DOCS["token_counts"] = f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens_bpe
+    FROM documents
+"""
+
+
+def _langid_sql() -> str:
+    langs = sorted(STOPWORDS)
+    hits = ",\n             ".join(
+        f"{_sql_stophits(lg)} AS hits_{lg}" for lg in langs
+    )
+    cases = []
+    for lg in langs:
+        conds = [f"hits_{lg} > 0"]
+        for other in langs:
+            if other == lg:
+                continue
+            op = ">=" if other > lg else ">"
+            conds.append(f"hits_{lg} {op} hits_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    cols = ", ".join(f"hits_{lg}" for lg in langs)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {hits}
+      FROM documents)
+    SELECT doc_id, lang, {case_sql} AS pred_lang, {cols}
+    FROM b
+"""
+
+
+ORACLES_DOCS["lang_id"] = _langid_sql()
+
+ORACLES_DOCS["fingerprint"] = f"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform({_TOKS},
+                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)) % 2147483647
+                AS BIGINT) AS fingerprint
+    FROM documents
+"""
+
+ORACLES_DOCS["dedup_clusters"] = """
+    SELECT md5(text) AS content_hash,
+           count(*) AS cluster_size,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+"""
+
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 2, 0) + 1), "
+    f"i -> array_to_string({_TOKS}[i:i+2], ' ')))"
+)
+
+
+def _mh_expr(i: int, shingles: str = "sh") -> str:
+    return (
+        f"list_min(list_transform({shingles}, "
+        f"s -> ('0x' || substr(md5('mh{i}:' || s), 1, 8))::BIGINT))"
+    )
+
+
+ORACLES_DOCS["minhash_signatures"] = f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    SELECT doc_id,
+           {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+           {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+    FROM s
+"""
+
+
+def _lsh_sql() -> str:
+    mh = ",\n           ".join(f"{_mh_expr(i)} AS mh{i}" for i in range(8))
+    bands = []
+    for b in range(4):
+        c0, c1 = b * 2, b * 2 + 1
+        bands.append(
+            f"SELECT doc_id, md5('{b}_' || CAST(mh{c0} AS VARCHAR) || '_' || "
+            f"CAST(mh{c1} AS VARCHAR)) AS band_key FROM sig"
+        )
+    band_union = " UNION ALL ".join(bands)
+    return f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id,
+           {mh}
+    FROM s),
+    keyed AS ({band_union}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    j AS (
+      SELECT p.id_a, p.id_b,
+             len(list_intersect(sa.sh, sb.sh))
+                 / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                 AS jaccard
+      FROM pairs p
+      JOIN s sa ON p.id_a = sa.doc_id
+      JOIN s sb ON p.id_b = sb.doc_id)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2
+"""
+
+
+ORACLES_DOCS["minhash_lsh_jaccard"] = _lsh_sql()
+
+
+def _simhash_sql() -> str:
+    toks = f"list_distinct({_TOKS})"
+    bits = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(tk, "
+        f"t -> (('0x' || substr(md5(t), 1, 8))::BIGINT >> {b}) & 1)) "
+        f">= len(tk) THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+    WITH b AS (SELECT doc_id, {toks} AS tk FROM documents)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM b
+"""
+
+
+ORACLES_DOCS["simhash"] = _simhash_sql()
+
+_COS = (
+    "list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE))))"
+)
+
+ORACLES_DOCS["embedding_neardup"] = f"""
+    WITH v AS (SELECT vec_id, embedding AS e, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS}, 9) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS}, 9) >= 0.30
+"""
+
+ORACLES_DOCS["ann_bruteforce"] = f"""
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id != 0)
+    SELECT a.vec_id, round({_COS.replace('b.e', 'q.e')}, 9) AS cos_sim
+    FROM v a, (SELECT e FROM q) q
+    ORDER BY {_COS.replace('b.e', 'q.e')} DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
+def _ivf_sql() -> str:
+    cos_ab = _COS
+    # argmax via list_position(sims, list_max(sims)) — mirrors
+    # similarity.assign_cells (first max wins)
+    sims = ("list_transform(range(1, 17), k -> "
+            "list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * cl[k][i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(range(1, 65), i -> cl[k][i]::DOUBLE * cl[k][i]::DOUBLE)))))")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS e FROM embeddings
+                   WHERE vec_id < 16),
+    cl_t AS (SELECT list(e ORDER BY cid) AS cl, list(cid ORDER BY cid) AS cids
+             FROM cents),
+    q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT a.cid FROM cents a, (SELECT e FROM q) b
+              ORDER BY {cos_ab} DESC, a.cid ASC LIMIT 2),
+    assigned AS (
+      SELECT a.vec_id, a.e,
+             t.cids[list_position({sims}, list_max({sims}))] AS cell
+      FROM (SELECT vec_id, embedding AS e FROM embeddings) a, cl_t t),
+    cand AS (SELECT * FROM assigned
+             WHERE cell IN (SELECT cid FROM probe) AND vec_id != 0)
+    SELECT a.vec_id, a.cell, round({cos_ab.replace("b.e", "q.e")}, 9) AS cos_sim
+    FROM cand a, (SELECT e FROM q) q
+    ORDER BY {cos_ab.replace("b.e", "q.e")} DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
+ORACLES_DOCS["ann_ivf"] = _ivf_sql()
+
+
+QUERIES_DOCS = {
+    "text_quality": q_text_quality,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_clusters": q_dedup_clusters,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_jaccard": q_minhash_lsh_jaccard,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_ivf": q_ann_ivf,
+}

@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes:
+- exact dedup = hash groupBy (one shuffle on the content hash);
+- MinHash: per-doc signature is a map-side higher-order expression (no
+  shuffle); LSH banding turns near-dup search into an equi-join on band
+  keys — candidate pairs only, never the n² cross join;
+- SimHash: per-bit majority over token hashes, again map-side;
+- verification (exact Jaccard / cosine) runs only on LSH candidates.
+
+All hashes are md5-derived so signatures are engine-portable and
+oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tsforge_spark.operators.text import tokens
+
+
+def exact_dedup_clusters(df: DataFrame, key_cols: list[str], text_col: str) -> DataFrame:
+    """Group identical content; emit one row per content hash with
+    cluster size and canonical (min) key."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(key_cols[0]).alias("canonical_id"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct content."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _hash_token(t: Column, salt: int) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"mh{salt}:"), t)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as strings (distinct)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(text: Column, k_hashes: int = 8, shingle_k: int = 3) -> list[Column]:
+    """MinHash signature: min over shingles of k independent md5-salted
+    hashes (one column per hash fn)."""
+    sh = word_shingles(text, shingle_k)
+
+    def one(i: int):
+        # closure factory: a `i=i` default param would change the lambda's
+        # arity and make pyspark pass the ELEMENT INDEX as `i`
+        return F.array_min(F.transform(sh, lambda s: _hash_token(s, i)))
+
+    return [one(i) for i in range(k_hashes)]
+
+
+def add_minhash(df: DataFrame, text_col: str, k_hashes: int = 8, shingle_k: int = 3) -> DataFrame:
+    out = df
+    for i, c in enumerate(minhash_signature(F.col(text_col), k_hashes, shingle_k)):
+        out = out.withColumn(f"mh{i}", c)
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k_hashes: int = 8, bands: int = 4, shingle_k: int = 3,
+) -> DataFrame:
+    """Band the signature (rows-per-band = k/bands), bucket-join docs
+    sharing a band key → candidate pairs (id_a < id_b), deduplicated."""
+    rows_per_band = k_hashes // bands
+    sig = add_minhash(df.select(id_col, text_col), text_col, k_hashes, shingle_k)
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        key = F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        band_frames.append(sig.select(F.col(id_col), key.alias("band_key")))
+    keyed = band_frames[0]
+    for f in band_frames[1:]:
+        keyed = keyed.unionByName(f)
+    a = keyed.alias("a")
+    b_ = keyed.alias("b")
+    pairs = (
+        a.join(b_, on="band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification
+    stage): |A∩B| / |A∪B|."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs["id_a"] == sh[id_col])
+        .drop(id_col)
+        .join(
+            sh.withColumnRenamed("sh", "sh_b").withColumnRenamed(id_col, "_idb"),
+            F.col("id_b") == F.col("_idb"),
+        )
+        .drop("_idb")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash: per-bit majority vote over md5 token hashes."""
+    toks = F.array_distinct(tokens(text))
+    hashed = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    sim = F.lit(0).cast("long")
+    n = F.size(toks)
+
+    def ones_at(b: int):
+        # closure factory (see minhash_signature): keep the merge lambda
+        # strictly 2-ary
+        return F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.shiftright(x, b).bitwiseAND(F.lit(1)),
+        )
+
+    for b in range(16):
+        bit = (ones_at(b) * 2 >= n).cast("long")
+        sim = sim + F.shiftleft(bit, b)
+    return sim
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, label_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup within candidate blocks (same label =
+    the blocking key; at scale the block key comes from LSH/IVF
+    assignment, see similarity.py)."""
+    from tsforge_spark.operators.similarity import cosine
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(label_col).alias("blk")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(label_col).alias("blk")
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") > threshold
+    )

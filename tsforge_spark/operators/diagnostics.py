@@ -1,0 +1,86 @@
+"""Per-series diagnostics (SURVEY.md §2.4) — the reference's
+``datetime_diagnostics`` / panel checks as single-pass aggregations.
+
+Reference: ``src/tsforge/eda/diagnostics.py:163-265`` (span stats, delta
+stats, gap counts, seasonal-period classification, peak month argmax),
+``eda/check_panel.py:30-38`` (dup / missing-date checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsforge_spark.operators.features import ts_delta
+
+
+def series_diagnostics(
+    df: DataFrame, id_col: str, ts_col: str, freq_seconds: int | None = None
+) -> DataFrame:
+    """Per-series: start/end/n_obs (+ delta stats; + expected/missing obs
+    when ``freq_seconds`` given — ``diagnostics.py:163-223``)."""
+    delta = ts_delta(df, ts_col, id_col, [ts_col])
+    with_d = df.withColumn("_delta_s", delta)
+    aggs = [
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("_delta_s").alias("delta_mean_s"),
+        F.expr("percentile(_delta_s, 0.5)").alias("delta_median_s"),
+        F.stddev_samp("_delta_s").alias("delta_std_s"),
+    ]
+    out = with_d.groupBy(id_col).agg(*aggs)
+    if freq_seconds:
+        span_s = (
+            F.unix_micros(F.col("end_ts")) - F.unix_micros(F.col("start_ts"))
+        ) / 1e6
+        expected = (span_s / freq_seconds).cast("long") + 1
+        out = out.withColumn("expected_obs", expected).withColumn(
+            "missing_obs", expected - F.col("n_obs")
+        )
+    return out
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Duplicate (id, ts) detection (``check_panel.py:30-31``)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def peak_period(
+    df: DataFrame, id_col: str, ts_col: str, value_col: str, unit: str = "month"
+) -> DataFrame:
+    """Peak month/quarter per series: mean by (id, unit) → argmax via
+    row_number (``diagnostics.py:250-265``).  Deterministic tiebreak on
+    the unit value."""
+    unit_fn = {"month": F.month, "quarter": F.quarter, "hour": F.hour}[unit]
+    per = (
+        df.withColumn("_u", unit_fn(F.col(ts_col)))
+        .groupBy(id_col, "_u")
+        .agg(F.avg(value_col).alias("_avg"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_avg"), F.asc("_u"))
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_u").alias(f"peak_{unit}"),
+            F.col("_avg").alias(f"peak_{unit}_avg"),
+        )
+    )
+
+
+def missing_buckets(
+    df: DataFrame, id_col: str, ts_col: str, freq: str
+) -> DataFrame:
+    """Expected − observed buckets via grid anti-join
+    (``check_panel.py:35-38`` → SURVEY.md §2.7 except/difference)."""
+    from tsforge_spark.operators.gapfill import complete_grid
+
+    observed = df.select(id_col, ts_col).distinct()
+    grid = complete_grid(observed, id_col, ts_col, freq)
+    return grid.join(observed, [id_col, ts_col], "left_anti")

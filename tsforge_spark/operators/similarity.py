@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine``: dot/norms via ``F.zip_with`` + ``F.aggregate`` — JVM-side
+  higher-order functions, no UDF;
+- ``brute_force_topk``: exact baseline — broadcast the query vector,
+  score every row, global top-k;
+- ``ivf_topk``: the scale path — assign every vector to its nearest
+  centroid once (map-side over a broadcast centroid list), then search
+  only the query's ``n_probe`` nearest cells.  With C cells this scans
+  ~n_probe/C of the data; at 100 TB the cell assignment is a partition
+  key so a probe touches only those partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector (deterministic
+    tiebreak on id)."""
+    q = _lit_vec(query_vec)
+    scored = emb.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def assign_cells(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: argmax cosine over a broadcast centroid list
+    (pure column expressions — the per-row loop is over C centroids, a
+    compile-time constant).
+
+    Implementation note: an iterated ``when(cond, s).otherwise(prev)``
+    chain references the previous expression twice per level → 2^C tree
+    blow-up that stalls Catalyst.  Build an array of C independent sims
+    and take ``array_position(sims, array_max(sims))`` instead (first max
+    wins, a deterministic tiebreak)."""
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.array(*[cosine(v, _lit_vec(cvec)) for _, cvec in centroids])
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    pos = F.array_position(sims, F.array_max(sims))
+    return emb.withColumn("cell", F.element_at(cids, pos.cast("int")))
+
+
+def ivf_topk(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]], query_vec,
+    k: int, n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only rows in the query's n_probe nearest cells."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    def cos_np(c):
+        c = np.asarray(c, dtype=np.float64)
+        return float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv)))
+
+    probe = sorted(centroids, key=lambda c: -cos_np(c[1]))[:n_probe]
+    probe_ids = [c[0] for c in probe]
+    assigned = assign_cells(emb, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("cell").isin(probe_ids))
+    q = _lit_vec(query_vec)
+    scored = cand.select(
+        F.col(id_col),
+        F.col("cell"),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
