@@ -45,9 +45,27 @@ def _sf_from_dir(d: str) -> float:
         return 0.1
 
 
-def run_pipeline(cores: int, n_convs: int, work_root: str) -> dict:
+def prepare_input(n_convs: int, work_root: str) -> str:
+    """Generate the deterministic transcript table ONCE and commit it as
+    snapshot 1 of a shared store — both parallelism levels consume the
+    identical input (the north rule's 'same job, same input')."""
+    from tsforge_spark.fixtures import make_transcripts_distributed
+    from tsforge_spark.session import get_spark
+    from tsforge_spark.sources.snapshots import SnapshotStore
+
+    store_dir = os.path.join(work_root, "store")
+    spark = get_spark("tsforge-bench-gen", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    try:
+        df = make_transcripts_distributed(spark, n_convs, seed=42, mean_turns=60)
+        SnapshotStore(store_dir).append(df)
+    finally:
+        spark.stop()
+    return store_dir
+
+
+def run_pipeline(cores: int, store_dir: str, work_root: str) -> dict:
     """One full pipeline run at a given parallelism; returns metrics."""
-    from tsforge_spark.fixtures import make_transcripts, transcripts_to_spark
     from tsforge_spark.plans.pipeline import RollupPipeline
     from tsforge_spark.session import get_spark
     from tsforge_spark.sources.snapshots import SnapshotStore
@@ -57,16 +75,12 @@ def run_pipeline(cores: int, n_convs: int, work_root: str) -> dict:
         shuffle_partitions=max(cores, 8),
     )
     try:
-        pdf = make_transcripts(n_convs=n_convs, seed=42, mean_turns=60)
-        store_dir = os.path.join(work_root, f"store_{cores}")
         out_dir = os.path.join(work_root, f"out_{cores}")
-        store = SnapshotStore(store_dir)
-        store.append(transcripts_to_spark(spark, pdf))
         pipe = RollupPipeline(
-            spark, store, out_dir, n_buckets=max(cores * 2, 16)
+            spark, SnapshotStore(store_dir), out_dir,
+            n_buckets=max(cores * 2, 16),
         )
         res = pipe.run()
-        res["n_convs"] = n_convs
         res["cores"] = cores
         return res
     finally:
@@ -96,14 +110,15 @@ def main() -> None:
     scaling = "--scaling" in sys.argv
     skip_queries = "--skip-queries" in sys.argv
     sf = _sf_from_dir(SF_DIR)
-    n_convs = max(int(200_000 * sf), 200)
+    n_convs = int(os.environ.get("TSF_BENCH_CONVS", max(int(200_000 * sf), 200)))
     work_root = tempfile.mkdtemp(prefix="tsforge_bench_")
     extras: dict = {}
     try:
+        store_dir = prepare_input(n_convs, work_root)
         if scaling:
             n_small = max(CPUS // 4, 2)
-            r_small = run_pipeline(n_small, n_convs, work_root)
-            r_big = run_pipeline(CPUS, n_convs, work_root)
+            r_small = run_pipeline(n_small, store_dir, work_root)
+            r_big = run_pipeline(CPUS, store_dir, work_root)
             eff = (r_big["turns_per_sec"] / r_small["turns_per_sec"]) / (
                 CPUS / n_small
             )
@@ -121,7 +136,7 @@ def main() -> None:
                 json.dump(extras["scaling"], f, indent=1)
             main_run = r_big
         else:
-            main_run = run_pipeline(CPUS, n_convs, work_root)
+            main_run = run_pipeline(CPUS, store_dir, work_root)
 
         queries = {} if skip_queries else run_queries(SF_DIR)
 
@@ -134,6 +149,7 @@ def main() -> None:
             "turns": main_run["turns"],
             "pipeline_wall_sec": round(main_run["wall_sec"], 2),
             "blob_bytes": main_run["blob_bytes"],
+            "stage_sec": main_run.get("stage_sec", {}),
             "cores": CPUS,
             **extras,
         }

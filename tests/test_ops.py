@@ -253,3 +253,44 @@ def test_multimodal_plumbing(spark):
     assert all(len(f) == 8 for f in feats["feature"])
     with pytest.raises(Exception, match="NotImplementedError|media codecs"):
         decode_image_features(media, dim=8, fake=False).collect()
+
+
+def test_asof_join_variants_agree(spark):
+    from tsforge_spark.operators.asof import asof_join, asof_join_pandas
+
+    left = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 2,
+            "t": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:10", "2024-01-01 00:20",
+                 "2024-01-01 00:00", "2024-01-01 00:07", "2024-01-01 00:30"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "t": pd.to_datetime(
+                ["2024-01-01 00:04", "2024-01-01 00:10", "2024-01-01 00:29"]
+            ).astype("datetime64[us]"),
+            "v": [1.0, 2.0, 9.0],
+        }
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    a = (
+        asof_join(ldf, rdf, "k", "t", ["v"])
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    b = (
+        asof_join_pandas(ldf, rdf, "k", "t", ["v"])
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    # pandas oracle
+    want = pd.merge_asof(
+        left.sort_values("t"), right.rename(columns={"v": "v_asof"}).sort_values("t"),
+        on="t", by="k",
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    for got in (a, b):
+        np.testing.assert_array_equal(
+            got["v_asof"].to_numpy(), want["v_asof"].to_numpy()
+        )

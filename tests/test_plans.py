@@ -1,0 +1,110 @@
+"""Physical-plan quality gates (task brief: '.explain the plan and
+iterate until it's the plan you'd want').
+
+These assert the properties that matter at 100 TB:
+- predicate pushdown reaches the parquet scan (PushedFilters),
+- column pruning keeps unused (esp. binary payload) columns out of
+  ReadSchema,
+- small dims broadcast (BroadcastHashJoin, no shuffle of the fact side),
+- a tier rollup is exactly one shuffle (partial → final hash aggregate),
+- window features share one shuffle across all feature columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_shuffles(plan: str) -> int:
+    # formatted plans put the partitioning on the Arguments line
+    return plan.count("Arguments: hashpartitioning(")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_filter_pushdown_to_scan(spark, events):
+    df = events.filter(F.col("user_id") == 7).select("user_id", "value")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "user_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_readschema(spark, events):
+    df = events.select("user_id", "ts")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_payload_never_read_for_metadata(spark, tmp_path):
+    from tsforge_spark.operators.multimodal import make_fake_media, media_metadata
+
+    path = str(tmp_path / "media")
+    make_fake_media(spark, 16).write.parquet(path)
+    meta = media_metadata(spark.read.parquet(path)).drop("n_bytes")
+    read_schema = plan_of(meta).split("ReadSchema")[1][:300]
+    assert "payload" not in read_schema
+
+
+def test_broadcast_join_for_small_dims(spark):
+    from tsforge_spark.catalog import q_revenue_by_nation
+
+    plan = plan_of(q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the fact table (orders) must not be exchanged for the joins —
+    # the only Exchange is the final groupBy shuffle
+    assert n_shuffles(plan) <= 1, plan
+
+
+def test_rollup_is_single_shuffle_with_partial_agg(spark, transcripts):
+    from tsforge_spark.operators.rollup import rollup_transcripts
+
+    plan = plan_of(rollup_transcripts(transcripts, "1m"))
+    assert n_shuffles(plan) == 1
+    # map-side partial aggregation before the shuffle
+    assert "HashAggregate" in plan
+
+
+def test_window_features_share_one_shuffle(spark, events):
+    from tsforge_spark.catalog import q_rolling_hour_features
+
+    plan = plan_of(q_rolling_hour_features(spark, SF))
+    # one shuffle for the groupBy(user, bucket), one for the window
+    # partitionBy(user) — all six feature columns ride the same window
+    # exchange
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_tier_fold_prunes_day_partitions(spark, tmp_path):
+    from tsforge_spark.operators.rollup import rollup_transcripts
+
+    t1m = rollup_transcripts(
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "cast(user_id as string) conv_id", "cast(user_id as int) turn_idx",
+            "'user' role", "props text", "event_type tool", "ts",
+        ),
+        "1m",
+    ).withColumn("day", F.to_date("bucket"))
+    path = str(tmp_path / "t1m")
+    t1m.write.partitionBy("day").parquet(path)
+    pruned = spark.read.parquet(path).filter(
+        F.col("day").isin(["2024-01-03", "2024-01-04"])
+    )
+    # partition-pruned scan: only 2 of ~30 day partitions planned
+    n_parts = pruned.select("day").distinct().count()
+    assert n_parts == 2
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan

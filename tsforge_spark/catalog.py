@@ -808,8 +808,10 @@ ORACLES["dedup_exact"] = """
 
 
 from tsforge_spark.catalog_docs import ORACLES_DOCS, QUERIES_DOCS  # noqa: E402
+from tsforge_spark.catalog_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
 
 ORACLES.update(ORACLES_DOCS)
+ORACLES.update(ORACLES_EXT)
 
 QUERIES = {
     "rollup_minute": q_rollup_minute,
@@ -836,4 +838,5 @@ QUERIES = {
     "missing_hours": q_missing_hours,
     "dedup_exact": q_dedup_exact,
     **QUERIES_DOCS,
+    **QUERIES_EXT,
 }

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tsforge_spark.codec.gorilla import decode_series, encode_series
+from tsforge_spark.codec.gorilla import assemble_blob, decode_series, encode_timestamps
 
 SEGMENT_TRUNC = {"1m": "day", "1h": "month", "1d": "month"}
 
@@ -47,42 +47,66 @@ DECODED_SCHEMA = T.StructType(
 
 
 def encode_tier_blobs(
-    tier_df: DataFrame, tier: str, measures: tuple[str, ...] = ("turns", "tool_calls")
+    tier_df: DataFrame,
+    tier: str,
+    measures: tuple[str, ...] = ("turns", "tool_calls"),
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """Encode tier cells into per-(conv, segment, measure) blobs."""
+    """Encode tier cells into per-(conv, segment, measure) blobs.
+
+    Packed kernel: grouping by (conv, segment) directly would create one
+    Arrow batch per blob — millions of tiny groups whose per-group
+    overhead dwarfs the encode.  Instead we group by a hash bucket
+    (~``n_buckets`` large groups), sort inside the kernel, and split on
+    (conv, segment) boundaries with numpy — the inner loop runs once per
+    *blob*, never per row, and each encode_series call is vectorized.
+    Bucketing also bounds task skew: a hot conversation's segments spread
+    across its bucket's single sort, not a straggler group.
+    """
+
+    cols = [
+        "conv_id", "segment", "tier", "measure",
+        "n_points", "raw_bytes", "blob_bytes", "blob",
+    ]
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket", kind="mergesort")
-        ts = pdf["bucket"].to_numpy("datetime64[us]").astype(np.int64)
-        n = len(pdf)
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values(["conv_id", "segment", "bucket"], kind="mergesort")
+        ts_all = pdf["bucket"].to_numpy("datetime64[us]").astype(np.int64)
+        seg_all = pdf["segment"].to_numpy("datetime64[us]").astype(np.int64)
+        conv_all = pdf["conv_id"].to_numpy()
+        # boundary detection: new blob where conv or segment changes
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = (conv_all[1:] != conv_all[:-1]) | (seg_all[1:] != seg_all[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        vals_by_m = {m: pdf[m].to_numpy(dtype=np.float64) for m in measures}
+        segs = pdf["segment"]
         rows = []
-        for m in measures:
-            vals = pdf[m].to_numpy(dtype=np.float64)
-            blob = encode_series(ts, vals)
-            rows.append(
-                (
-                    pdf["conv_id"].iat[0],
-                    pdf["segment"].iat[0],
-                    tier,
-                    m,
-                    n,
-                    n * 16,
-                    len(blob),
-                    blob,
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            # timestamp streams are shared across measures of a chunk —
+            # encode them once
+            ts_parts = encode_timestamps(ts_all[s:e])
+            for m in measures:
+                blob = assemble_blob(ts_parts, vals_by_m[m][s:e])
+                rows.append(
+                    (conv_all[s], segs.iat[s], tier, m, n, n * 16, len(blob), blob)
                 )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id", "segment", "tier", "measure",
-                "n_points", "raw_bytes", "blob_bytes", "blob",
-            ],
-        )
+        return pd.DataFrame(rows, columns=cols)
 
-    with_seg = tier_df.withColumn(
-        "segment", F.date_trunc(SEGMENT_TRUNC[tier], F.col("bucket"))
-    )
-    return with_seg.groupBy("conv_id", "segment").applyInPandas(
+    with_seg = tier_df.select(
+        "conv_id",
+        "bucket",
+        *measures,
+        F.date_trunc(SEGMENT_TRUNC[tier], F.col("bucket")).alias("segment"),
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+        .cast("int")
+        .alias("_enc_bucket"),
+    )  # narrow projection: only these columns cross the Arrow boundary
+    return with_seg.groupBy("_enc_bucket").applyInPandas(
         encode, schema=BLOB_SCHEMA
     )
 

@@ -167,9 +167,17 @@ def decode_timestamps(ctrl: bytes, payload: bytes, first_ts: int, first_delta: i
 
 def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     """Encode one (timestamps µs, float64 values) series chunk to a blob."""
+    assert len(ts_us) == len(values)
+    return assemble_blob(encode_timestamps(ts_us), values)
+
+
+def assemble_blob(
+    ts_parts: tuple[bytes, bytes, int, int], values: np.ndarray
+) -> bytes:
+    """Build a blob from pre-encoded timestamp streams + raw values —
+    lets multi-measure encoders pay the timestamp encode once per chunk."""
+    tc, tp, first_ts, first_delta = ts_parts
     n = len(values)
-    assert len(ts_us) == n
-    tc, tp, first_ts, first_delta = encode_timestamps(ts_us)
     vc, vp, first_bits = encode_values(values)
     header = _HEADER.pack(
         _MAGIC, n, first_ts, first_delta, int(first_bits), len(tp), len(vp)

@@ -204,3 +204,120 @@ def make_preds(panel: pd.DataFrame, seed: int = 42, h: int = 7, n_cutoffs: int =
                 )
             )
     return pd.concat(rows, ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# Distributed generator: pure hash-derived randomness (no rng objects), so
+# every value depends only on (seed, conv_id, turn_idx) — deterministic
+# regardless of partitioning/batching.  Used by bench at scales where
+# driver-side pandas generation would bottleneck.
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _u01(key: np.ndarray, salt: int, seed: int) -> np.ndarray:
+    h = _splitmix64(key.astype(np.uint64) ^ np.uint64(salt * 0x9E3779B9 + seed))
+    return (h >> np.uint64(11)).astype(np.float64) * (2.0**-53) + 2.0**-54
+
+
+def gen_transcript_batch(
+    cids: np.ndarray,
+    seed: int = 42,
+    start: str = "2025-01-01",
+    span_days: int = 14,
+    mean_gap_s: float = 20.0,
+    mean_turns: int = 60,
+    zipf_a: float = 1.5,
+    max_turns: int = 5000,
+) -> pd.DataFrame:
+    """Generate the transcripts for a batch of conversation ids —
+    vectorized numpy, identical output for a cid regardless of batching."""
+    cids = cids.astype(np.int64)
+    u = _u01(cids, 1, seed)
+    # Pareto-tail turn counts (zipf-like): X = u^(-1/(a-1))
+    raw = np.power(u, -1.0 / (zipf_a - 1.0))
+    turns = np.clip(
+        (raw * max(mean_turns // 5, 1)).astype(np.int64), 3, max_turns
+    )
+    total = int(turns.sum())
+    conv_rep = np.repeat(cids, turns)
+    turn_idx = (
+        np.arange(total) - np.repeat(np.cumsum(turns) - turns, turns)
+    ).astype(np.int32)
+
+    key = conv_rep.astype(np.uint64) * np.uint64(1000003) + turn_idx.astype(
+        np.uint64
+    )
+    gap_u = _u01(key, 2, seed)
+    gaps = -mean_gap_s * 1e6 * np.log(gap_u)
+    # multi-hour silences in ~10% of conversations at a hash-chosen turn
+    silent = _u01(cids, 3, seed) < 0.10
+    sil_pos = (2 + (_u01(cids, 4, seed) * np.maximum(turns - 3, 1)).astype(np.int64))
+    sil_len = (2 * 3600e6 + _u01(cids, 5, seed) * 4 * 3600e6)
+    sil_mask = np.repeat(silent, turns) & (turn_idx == np.repeat(sil_pos, turns))
+    gaps = np.where(sil_mask, np.repeat(sil_len, turns), gaps)
+    gaps[turn_idx == 0] = 0.0
+    # integer-µs cumsum: float prefix sums are not batch-independent
+    # (non-associative); integer arithmetic is exact
+    cum = np.cumsum(gaps.astype(np.int64))
+    firsts = np.cumsum(turns) - turns
+    cum = cum - np.repeat(cum[firsts], turns)
+
+    start_us = np.datetime64(start, "us").astype(np.int64)
+    span_us = int(span_days * 86400 * 1e6)
+    conv_start = (_u01(cids, 6, seed) * span_us).astype(np.int64)
+    ts_us = start_us + np.repeat(conv_start, turns) + cum.astype(np.int64)
+
+    roles = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
+    tool_u = _u01(key, 7, seed)
+    tool_sel = (_u01(key, 8, seed) * len(_TOOLS)).astype(np.int64)
+    tool = np.where(tool_u < 0.15, _TOOLS[tool_sel], None)
+
+    w = _WORDS[(conv_rep * 31 + turn_idx * 7) % len(_WORDS)]
+    w2 = _WORDS[(conv_rep * 17 + turn_idx * 13) % len(_WORDS)]
+    text = [
+        "conv_%08d turn %d: %s %s" % (c, t, a, b)
+        for c, t, a, b in zip(conv_rep, turn_idx, w, w2)
+    ]
+    return pd.DataFrame(
+        {
+            "conv_id": ["conv_%08d" % c for c in conv_rep],
+            "turn_idx": turn_idx,
+            "role": roles,
+            "text": pd.Series(text, dtype=object),
+            "tool": pd.Series(tool, dtype=object),
+            "ts": ts_us.astype("datetime64[us]"),
+        }
+    )
+
+
+def make_transcripts_distributed(
+    spark,
+    n_convs: int,
+    seed: int = 42,
+    parts: int | None = None,
+    **kwargs,
+):
+    """Transcript table generated ON THE EXECUTORS via mapInPandas —
+    the only way to synthesize inputs at scales where the driver would
+    bottleneck (and the pattern a 100 TB load test would use)."""
+    from tsforge_spark.schema import TRANSCRIPT_SCHEMA
+
+    parts = parts or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield gen_transcript_batch(pdf["id"].to_numpy(), seed=seed, **kwargs)
+
+    return (
+        spark.range(0, n_convs, numPartitions=parts)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )

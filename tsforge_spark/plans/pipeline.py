@@ -135,17 +135,26 @@ class RollupPipeline:
         return os.path.join(self.out, "_staging", name)
 
     def _merge_partitions(
-        self, new_df: DataFrame, target: str, partition_col: str, stage: str
+        self, new_df: DataFrame, target: str, partition_cols, stage: str
     ) -> None:
         """Materialize to staging, then dynamic-overwrite only the
-        partitions present in ``new_df`` (Iceberg: MERGE INTO)."""
+        partitions present in ``new_df`` (Iceberg: MERGE INTO).  On the
+        first run (no target yet) there is nothing being replaced-while-
+        read, so write directly and skip the staging double-write."""
+        if isinstance(partition_cols, str):
+            partition_cols = [partition_cols]
+        if not os.path.exists(target):
+            new_df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                target
+            )
+            return
         staging = self._stage_dir(stage)
         shutil.rmtree(staging, ignore_errors=True)
         new_df.write.mode("overwrite").parquet(staging)
         (
             self.spark.read.parquet(staging)
             .write.mode("overwrite")
-            .partitionBy(partition_col)
+            .partitionBy(*partition_cols)
             .parquet(target)
         )
         shutil.rmtree(staging, ignore_errors=True)
@@ -155,6 +164,13 @@ class RollupPipeline:
         """Process every snapshot after the checkpoint; no-op when
         up-to-date.  Returns per-stage metrics incl. turns/sec."""
         t0 = time.time()
+        stage_sec: dict[str, float] = {}
+
+        def mark(name: str, _last=[t0]) -> None:
+            now = time.time()
+            stage_sec[name] = round(now - _last[0], 2)
+            _last[0] = now
+
         ckpt = self.checkpoint()
         last = self.store.last_snapshot_id()
         after = ckpt["last_snapshot_id"]
@@ -170,21 +186,37 @@ class RollupPipeline:
         # own output and produce an empty delta.  Staging breaks the
         # self-referential lineage (on Iceberg, snapshot isolation of the
         # MERGE does this for free).
+        first_run = after == 0 and not os.path.exists(self.turns_path)
         ingest_staging = self._stage_dir("ingest")
-        shutil.rmtree(ingest_staging, ignore_errors=True)
-        self._prepare(delta).write.mode("overwrite").parquet(ingest_staging)
-        clean = self.spark.read.parquet(ingest_staging)
+        if first_run:
+            # no history → no anti-join self-reference; the turns-store
+            # write IS the materialization (saves a full staging write)
+            self._prepare(delta).write.mode("overwrite").partitionBy(
+                "bucket_id"
+            ).parquet(self.turns_path)
+            clean = self.spark.read.parquet(self.turns_path)
+        else:
+            shutil.rmtree(ingest_staging, ignore_errors=True)
+            self._prepare(delta).write.mode("overwrite").parquet(ingest_staging)
+            clean = self.spark.read.parquet(ingest_staging)
         n_turns = clean.count()
+        mark("prepare")
         metrics.log("ingest", rows=n_turns, snapshots=[after + 1, last])
 
         if n_turns == 0:
-            shutil.rmtree(ingest_staging, ignore_errors=True)
+            if not first_run:
+                shutil.rmtree(ingest_staging, ignore_errors=True)
             ckpt.update(last_snapshot_id=last, runs=ckpt["runs"] + 1)
             self._commit_checkpoint(ckpt)
             return {"status": "empty-delta", "turns": 0}
 
-        # canonical ordered turns store (append — rows are new by dedup)
-        clean.write.mode("append").partitionBy("bucket_id").parquet(self.turns_path)
+        # canonical ordered turns store (append — rows are new by dedup;
+        # on a first run the store write already happened above)
+        if not first_run:
+            clean.write.mode("append").partitionBy("bucket_id").parquet(
+                self.turns_path
+            )
+        mark("turns_store")
 
         # lineage at the hash-bucket grain
         counts = [
@@ -194,6 +226,7 @@ class RollupPipeline:
         lineage_rows(
             self.spark, job_id, "ingest", last, counts, detail=f"after={after}"
         ).write.mode("append").parquet(self.lineage_path)
+        mark("lineage")
 
         # ---- 1m tier: merge delta partials into affected day partitions
         delta_1m = rollup_transcripts(clean.drop("bucket_id"), "1m").withColumn(
@@ -209,6 +242,7 @@ class RollupPipeline:
         else:
             merged_1m = delta_1m
         self._merge_partitions(merged_1m, self.tier_path("1m"), "day", "t1m")
+        mark("tier_1m")
         metrics.log("tier_1m", affected_days=len(affected_days))
 
         # ---- 1h / 1d tiers: re-fold affected days from the finer tier
@@ -226,6 +260,7 @@ class RollupPipeline:
             "day", F.to_date("bucket")
         )
         self._merge_partitions(upd_1d, self.tier_path("1d"), "day", "t1d")
+        mark("tier_fold")
         metrics.log("tier_fold", tiers=["1h", "1d"])
 
         # ---- blobs: re-encode affected (tier, segment) chunks
@@ -250,19 +285,21 @@ class RollupPipeline:
                 "tier_part", F.lit(tier)
             )
             # partition by (tier_part, seg_day) so only touched segments
-            # are overwritten
-            staging = self._stage_dir(f"blobs_{tier}")
-            shutil.rmtree(staging, ignore_errors=True)
-            blobs.write.mode("overwrite").parquet(staging)
-            staged = self.spark.read.parquet(staging)
-            (
-                staged.write.mode("overwrite")
-                .partitionBy("tier_part", "seg_day")
-                .parquet(self.blobs_path)
+            # are overwritten; blobs are derived data, so even the merge
+            # path needs no staging (the source is the tier table, not
+            # the blob store being overwritten)
+            self._merge_partitions(
+                blobs, self.blobs_path, ["tier_part", "seg_day"], f"blobs_{tier}"
             )
-            tier_bytes = staged.agg(F.sum("blob_bytes")).collect()[0][0] or 0
-            shutil.rmtree(staging, ignore_errors=True)
+            tier_bytes = (
+                self.spark.read.parquet(self.blobs_path)
+                .filter(F.col("tier_part") == tier)
+                .agg(F.sum("blob_bytes"))
+                .collect()[0][0]
+                or 0
+            )
             total_blob_bytes += tier_bytes
+            mark(f"blobs_{tier}")
             metrics.log(f"blobs_{tier}", blob_bytes=int(tier_bytes))
 
         shutil.rmtree(ingest_staging, ignore_errors=True)
@@ -278,6 +315,7 @@ class RollupPipeline:
             "blob_bytes": int(total_blob_bytes),
             "last_snapshot_id": last,
             "affected_days": len(affected_days),
+            "stage_sec": stage_sec,
         }
         metrics.log("done", **{k: v for k, v in result.items() if k != "status"})
         return result
