@@ -809,9 +809,11 @@ ORACLES["dedup_exact"] = """
 
 from tsforge_spark.catalog_docs import ORACLES_DOCS, QUERIES_DOCS  # noqa: E402
 from tsforge_spark.catalog_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+from tsforge_spark.catalog_ts import ORACLES_TS, QUERIES_TS  # noqa: E402
 
 ORACLES.update(ORACLES_DOCS)
 ORACLES.update(ORACLES_EXT)
+ORACLES.update(ORACLES_TS)
 
 QUERIES = {
     "rollup_minute": q_rollup_minute,
@@ -839,4 +841,5 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     **QUERIES_DOCS,
     **QUERIES_EXT,
+    **QUERIES_TS,
 }

@@ -23,6 +23,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Parquet scans: keep row groups aligned with partition targets.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # zstd: ~3x smaller text-heavy writes; trades non-scaling disk IO for
+    # CPU, which parallelizes.
+    "spark.sql.parquet.compression.codec": "zstd",
     # Deterministic session timezone — the engine contract is UTC µs.
     "spark.sql.session.timeZone": "UTC",
     # Quiet the UI in the sandbox; harmless on a cluster.
