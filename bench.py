@@ -57,7 +57,11 @@ def prepare_input(n_convs: int, work_root: str) -> str:
     spark = get_spark("tsforge-bench-gen", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8))
     try:
-        df = make_transcripts_distributed(spark, n_convs, seed=42, mean_turns=60)
+        # many small files: Pareto-fat conversations make coarse partitions
+        # uneven, and stragglers cap the 4N-core wave time
+        df = make_transcripts_distributed(
+            spark, n_convs, seed=42, mean_turns=60, parts=CPUS * 8
+        )
         SnapshotStore(store_dir).append(df)
     finally:
         spark.stop()
@@ -72,7 +76,7 @@ def run_pipeline(cores: int, store_dir: str, work_root: str) -> dict:
 
     spark = get_spark(
         f"tsforge-bench-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=max(cores * 2, 16),
     )
     try:
         out_dir = os.path.join(work_root, f"out_{cores}")
@@ -83,6 +87,41 @@ def run_pipeline(cores: int, store_dir: str, work_root: str) -> dict:
         res = pipe.run()
         res["cores"] = cores
         return res
+    finally:
+        spark.stop()
+
+
+def run_compute_probe(cores: int, store_dir: str) -> float:
+    """Compute-stage throughput (rollup → fold → Gorilla encode, no
+    sinks): isolates the engine's parallel fraction from the sandbox's
+    shared single disk.  Input is read twice so the second, timed pass
+    hits the page cache."""
+    from pyspark.sql import functions as F
+
+    from tsforge_spark.codec.blobs import encode_tier_blobs
+    from tsforge_spark.operators.rollup import fold_tier, rollup_transcripts
+    from tsforge_spark.session import get_spark
+    from tsforge_spark.sources.snapshots import SnapshotStore
+
+    spark = get_spark(
+        f"tsforge-compute-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 16),
+    )
+    try:
+        df = SnapshotStore(store_dir).read(spark)
+        df.count()  # warm page cache
+        t0 = time.time()
+        t1m = rollup_transcripts(df, "1m")
+        t1h = fold_tier(t1m, "1h")
+        t1d = fold_tier(t1h, "1d")
+        n = 0
+        for tier_df, tier in ((t1m, "1m"), (t1h, "1h"), (t1d, "1d")):
+            n += encode_tier_blobs(tier_df, tier).agg(
+                F.sum("blob_bytes")
+            ).collect()[0][0]
+        wall = time.time() - t0
+        turns = df.count()
+        return turns / wall
     finally:
         spark.stop()
 
@@ -116,15 +155,16 @@ def main() -> None:
     try:
         store_dir = prepare_input(n_convs, work_root)
         if scaling:
-            n_small = max(CPUS // 4, 2)
+            n_big = int(os.environ.get("TSF_SCALE_BIG", CPUS))
+            n_small = int(os.environ.get("TSF_SCALE_SMALL", max(n_big // 4, 2)))
             r_small = run_pipeline(n_small, store_dir, work_root)
-            r_big = run_pipeline(CPUS, store_dir, work_root)
+            r_big = run_pipeline(n_big, store_dir, work_root)
             eff = (r_big["turns_per_sec"] / r_small["turns_per_sec"]) / (
-                CPUS / n_small
+                n_big / n_small
             )
             extras["scaling"] = {
                 "cores_small": n_small,
-                "cores_big": CPUS,
+                "cores_big": n_big,
                 "turns_per_sec_small": round(r_small["turns_per_sec"], 1),
                 "turns_per_sec_big": round(r_big["turns_per_sec"], 1),
                 "efficiency": round(eff, 3),
@@ -132,6 +172,13 @@ def main() -> None:
                     r_big["turns_per_sec"] / r_small["turns_per_sec"], 2
                 ),
             }
+            c_small = run_compute_probe(n_small, store_dir)
+            c_big = run_compute_probe(n_big, store_dir)
+            extras["scaling"]["compute_turns_per_sec_small"] = round(c_small, 1)
+            extras["scaling"]["compute_turns_per_sec_big"] = round(c_big, 1)
+            extras["scaling"]["compute_efficiency"] = round(
+                (c_big / c_small) / (n_big / n_small), 3
+            )
             with open("BENCH_SCALING.json", "w") as f:
                 json.dump(extras["scaling"], f, indent=1)
             main_run = r_big

@@ -294,3 +294,30 @@ def test_asof_join_variants_agree(spark):
         np.testing.assert_array_equal(
             got["v_asof"].to_numpy(), want["v_asof"].to_numpy()
         )
+
+
+def test_salted_layout_splits_hot_conversations(spark):
+    from pyspark.sql import functions as F
+
+    from tsforge_spark.operators.skew import salted_layout
+
+    rows = []
+    for t in range(3000):
+        rows.append(("hot", t, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)))
+    for cid in range(20):
+        for t in range(10):
+            rows.append((f"cold{cid}", t, pd.Timestamp("2024-01-02") + pd.Timedelta(seconds=t)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    out = salted_layout(df, n_buckets=8, hot_threshold=1000, block_size=500)
+    got = out.toPandas()
+    # hot conversation spreads over ceil(3000/500)=6 salt blocks
+    assert got[got.conv_id == "hot"]["salt"].nunique() == 6
+    # cold conversations stay unsalted
+    assert (got[got.conv_id != "hot"]["salt"] == 0).all()
+    # within each (hot, salt) block turn order is contiguous and sorted
+    blk = got[(got.conv_id == "hot") & (got.salt == 2)]["turn_idx"].to_numpy()
+    assert blk.min() == 1000 and blk.max() == 1499
+    # no row loss
+    assert len(got) == len(pdf)

@@ -72,3 +72,40 @@ def test_streaming_tier_matches_batch(spark, transcripts, transcripts_pdf, tmp_p
     pd.testing.assert_series_equal(
         got["text_chars"].astype("int64"), want["text_chars"].astype("int64")
     )
+
+
+def test_stateful_conversation_tracker(spark, transcripts, transcripts_pdf, tmp_path):
+    from tsforge_spark.streaming.stateful import conversation_tracker
+    from tsforge_spark.streaming.stream import read_transcript_stream
+
+    in_path = str(tmp_path / "sin")
+    transcripts.write.mode("overwrite").parquet(in_path)
+    tracked = conversation_tracker(
+        read_transcript_stream(spark, in_path, max_files_per_trigger=2)
+    )
+    q = (
+        tracked.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "sout"))
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "sout")).toPandas()
+    # the LAST update per conversation carries the full totals
+    last = (
+        out[out.event == "update"]
+        .sort_values("turns")
+        .groupby("conv_id")
+        .tail(1)
+        .set_index("conv_id")
+    )
+    want = transcripts_pdf.groupby("conv_id").agg(
+        turns=("turn_idx", "size"), tool_calls=("tool", "count")
+    )
+    assert len(last) == len(want)
+    assert (last["turns"].sort_index() == want["turns"].sort_index()).all()
+    assert (
+        last["tool_calls"].sort_index() == want["tool_calls"].sort_index()
+    ).all()

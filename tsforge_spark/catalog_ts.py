@@ -184,3 +184,171 @@ QUERIES_TS = {
     "perm_entropy": q_perm_entropy,
     "pivot_event_types": q_pivot_event_types,
 }
+
+
+def q_plot_precompute(spark, sf_dir):
+    """The reference's plot pre-compute read path in one plan
+    (SURVEY §3 auxiliary entry: aggregate_by_group → resample → select_ids
+    limit → apply_smoothing): hourly type-level rollup → daily downsample
+    → top-3 types by total → 3-day trailing-mean smoothing."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("c").alias("c"))
+    totals = daily.groupBy("event_type").agg(F.sum("c").alias("tot"))
+    top = totals.orderBy(F.desc("tot"), F.asc("event_type")).limit(3)
+    sel = daily.join(F.broadcast(top.select("event_type")), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-2, 0)
+    )
+    return sel.select(
+        "event_type",
+        "bucket",
+        (F.col("c") / 100.0).alias("value"),
+        (F.sum("c").over(w) / 100.0 / F.count(F.lit(1)).over(w)).alias("smoothed"),
+    )
+
+
+ORACLES_TS["plot_precompute"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    daily AS (
+      SELECT event_type, date_trunc('day', bucket) AS bucket,
+             CAST(sum(c) AS BIGINT) AS c
+      FROM hourly GROUP BY 1, 2),
+    top AS (
+      SELECT event_type FROM daily GROUP BY 1
+      ORDER BY CAST(sum(c) AS BIGINT) DESC, event_type ASC LIMIT 3)
+    SELECT d.event_type, d.bucket, d.c / 100.0 AS value,
+           CAST(sum(d.c) OVER w AS BIGINT) / 100.0 / count(*) OVER w AS smoothed
+    FROM daily d JOIN top USING (event_type)
+    WINDOW w AS (PARTITION BY d.event_type ORDER BY d.bucket
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES_TS["plot_precompute"] = q_plot_precompute
+
+
+def q_interval_metrics(spark, sf_dir):
+    """Interval metrics — coverage / width / Winkler (SURVEY §2.9,
+    evaluation/metrics.py:141-177) on deterministic lag-based intervals."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "c", F.round(F.col("value") * 100).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.withColumn("chat", F.lag("c").over(w))
+        .filter(F.col("chat").isNotNull())
+        .select(
+            "event_type",
+            (F.col("c") / 100.0).alias("y"),
+            (F.col("chat") / 100.0 - 10.0).alias("lo"),
+            (F.col("chat") / 100.0 + 10.0).alias("hi"),
+        )
+    )
+    covered = (F.col("y") >= F.col("lo")) & (F.col("y") <= F.col("hi"))
+    width = F.col("hi") - F.col("lo")
+    alpha = 0.2
+    winkler = (
+        width
+        + F.when(F.col("y") < F.col("lo"), (F.col("lo") - F.col("y")) * (2.0 / alpha)).otherwise(0.0)
+        + F.when(F.col("y") > F.col("hi"), (F.col("y") - F.col("hi")) * (2.0 / alpha)).otherwise(0.0)
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(covered.cast("long")) * 100.0 / F.count(F.lit(1))).alias("coverage"),
+        F.round(F.avg(width), 9).alias("interval_width"),
+        (F.sum(F.round(winkler * 1e6).cast("long")) / 1e6 / F.count(F.lit(1))).alias("winkler"),
+    )
+
+
+ORACLES_TS["interval_metrics"] = """
+    WITH p AS (
+      SELECT event_type,
+             CAST(round(value*100) AS BIGINT) / 100.0 AS y,
+             lag(CAST(round(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) / 100.0 - 10.0 AS lo,
+             lag(CAST(round(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) / 100.0 + 10.0 AS hi
+      FROM events)
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN y >= lo AND y <= hi THEN 1 ELSE 0 END) AS BIGINT)
+               * 100.0 / count(*) AS coverage,
+           round(avg(hi - lo), 9) AS interval_width,
+           CAST(sum(CAST(round((hi - lo
+               + CASE WHEN y < lo THEN (lo - y) * 10.0 ELSE 0.0 END
+               + CASE WHEN y > hi THEN (y - hi) * 10.0 ELSE 0.0 END) * 1e6)
+               AS BIGINT)) AS BIGINT) / 1e6 / count(*) AS winkler
+    FROM p WHERE lo IS NOT NULL
+    GROUP BY event_type
+"""
+
+QUERIES_TS["interval_metrics"] = q_interval_metrics
+
+
+def q_mase(spark, sf_dir):
+    """MASE: per-user naive-1 in-sample scale over the first 20 days,
+    scoring the last 10 days (SURVEY §2.9, metrics.py:96-118) — all
+    integer-cents arithmetic."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "c", F.round(F.col("value") * 100).cast("long")
+    )
+    cutoff = "2024-01-21 00:00:00"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    train = ev.filter(F.col("ts") < F.lit(cutoff))
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scale = (
+        train.withColumn("d", F.abs(F.col("c") - F.lag("c").over(wt)))
+        .groupBy("user_id")
+        .agg((F.sum("d") / 100.0 / F.count("d")).alias("scale"))
+    )
+    test = (
+        ev.withColumn("chat", F.lag("c").over(w))
+        .filter((F.col("ts") >= F.lit(cutoff)) & F.col("chat").isNotNull())
+    )
+    err = test.groupBy("user_id").agg(
+        (F.sum(F.abs(F.col("chat") - F.col("c"))) / 100.0 / F.count(F.lit(1))).alias("mae"),
+        F.count(F.lit(1)).alias("n_test"),
+    )
+    return err.join(scale, "user_id").select(
+        "user_id", "n_test", (F.col("mae") / F.col("scale")).alias("mase")
+    )
+
+
+ORACLES_TS["mase"] = """
+    WITH c AS (SELECT user_id, ts, event_id,
+                      CAST(round(value*100) AS BIGINT) AS c
+               FROM events),
+    tr AS (SELECT user_id,
+                  abs(c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS d
+           FROM c WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+    scale AS (SELECT user_id,
+                     CAST(sum(d) AS BIGINT) / 100.0 / count(d) AS scale
+              FROM tr GROUP BY user_id),
+    te AS (SELECT user_id, ts, c,
+                  lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS chat
+           FROM c),
+    err AS (SELECT user_id,
+                   CAST(sum(abs(chat - c)) AS BIGINT) / 100.0 / count(*) AS mae,
+                   count(*) AS n_test
+            FROM te
+            WHERE ts >= TIMESTAMP '2024-01-21 00:00:00' AND chat IS NOT NULL
+            GROUP BY user_id)
+    SELECT e.user_id, e.n_test, e.mae / s.scale AS mase
+    FROM err e JOIN scale s ON e.user_id = s.user_id
+"""
+
+QUERIES_TS["mase"] = q_mase

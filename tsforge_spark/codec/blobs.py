@@ -50,7 +50,7 @@ def encode_tier_blobs(
     tier_df: DataFrame,
     tier: str,
     measures: tuple[str, ...] = ("turns", "tool_calls"),
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Encode tier cells into per-(conv, segment, measure) blobs.
 
@@ -63,6 +63,12 @@ def encode_tier_blobs(
     Bucketing also bounds task skew: a hot conversation's segments spread
     across its bucket's single sort, not a straggler group.
     """
+
+    if n_buckets is None:
+        # ~4 waves of encode groups per core: packs Pareto-skewed group
+        # sizes without per-group overhead dominating
+        sc = tier_df.sparkSession.sparkContext
+        n_buckets = max(sc.defaultParallelism * 4, 16)
 
     cols = [
         "conv_id", "segment", "tier", "measure",

@@ -1,0 +1,70 @@
+"""Explicit skew control: hot-key detection + block salting
+(SURVEY §4.2.1; north rule: "hash(conv_id) bucketed with explicit
+salting for hot conversations").
+
+AQE splits skewed *join* partitions but cannot split one giant group fed
+to a grouped kernel or one oversized hash-bucket partition.  The engine's
+defense:
+
+1. ``hot_keys``: cheap pre-aggregation marking ids whose row count
+   exceeds a threshold (broadcast back — the hot set is small by
+   definition).
+2. ``salted_layout``: physical partition key
+   ``(bucket_id, salt)`` where ``salt = turn_idx // block_size`` for hot
+   ids and 0 otherwise — a hot conversation spreads over ceil(n/block)
+   partitions in *contiguous, internally ordered* blocks, so
+   ``sortWithinPartitions(conv_id, ts, turn_idx)`` still yields stable
+   per-block turn order (the invariant the text-equality check needs),
+   while no single partition holds more than ``block_size`` of any one
+   conversation.
+
+The blob encoder needs no salt: its groups are already bounded by
+segment chunking (codec/blobs.py).  Tumbling rollups need none either:
+hash aggregation does map-side partial aggregation before the shuffle,
+so a hot conversation contributes at most one partial row per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(
+    df: DataFrame, key: str, threshold: int = 100_000
+) -> DataFrame:
+    """Ids with more than ``threshold`` rows — one narrow aggregation."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > threshold)
+        .select(key)
+    )
+
+
+def salted_layout(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    n_buckets: int = 32,
+    hot_threshold: int = 100_000,
+    block_size: int = 50_000,
+) -> DataFrame:
+    """Add ``bucket_id`` and ``salt`` columns and repartition on both,
+    sorted within partitions by ``(key, ts, order_col)``."""
+    hot = hot_keys(df, key, hot_threshold).withColumn("_hot", F.lit(1))
+    out = df.join(F.broadcast(hot), key, "left")
+    salt = F.when(
+        F.col("_hot").isNotNull(),
+        (F.col(order_col).cast("long") / F.lit(block_size)).cast("int"),
+    ).otherwise(F.lit(0))
+    out = (
+        out.withColumn(
+            "bucket_id", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+        )
+        .withColumn("salt", salt)
+        .drop("_hot")
+    )
+    return out.repartition("bucket_id", "salt").sortWithinPartitions(
+        key, "ts", order_col
+    )

@@ -58,6 +58,8 @@ class RollupPipeline:
         n_buckets: int = 32,
         measures: tuple[str, ...] = ("turns", "tool_calls"),
         dedup_against_history: bool = True,
+        hot_threshold: int = 100_000,
+        hot_block_size: int = 50_000,
     ):
         self.spark = spark
         self.store = store
@@ -65,6 +67,8 @@ class RollupPipeline:
         self.n_buckets = n_buckets
         self.measures = measures
         self.dedup_against_history = dedup_against_history
+        self.hot_threshold = hot_threshold
+        self.hot_block_size = hot_block_size
         os.makedirs(out_dir, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -139,8 +143,17 @@ class RollupPipeline:
             clean = clean.join(
                 keys, ["bucket_id", "conv_id", "turn_idx"], "left_anti"
             )
-        return clean.repartition(self.n_buckets, "bucket_id").sortWithinPartitions(
-            "conv_id", "ts", "turn_idx"
+        # canonical layout: hash buckets + explicit hot-conversation salt
+        # (operators/skew.py) + stable (conv_id, ts, turn_idx) order
+        from tsforge_spark.operators.skew import salted_layout
+
+        return salted_layout(
+            clean.drop("bucket_id"),
+            key="conv_id",
+            order_col="turn_idx",
+            n_buckets=self.n_buckets,
+            hot_threshold=self.hot_threshold,
+            block_size=self.hot_block_size,
         )
 
     def _stage_dir(self, name: str) -> str:
