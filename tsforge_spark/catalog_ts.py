@@ -352,3 +352,79 @@ ORACLES_TS["mase"] = """
 """
 
 QUERIES_TS["mase"] = q_mase
+
+
+def q_rolling_median(spark, sf_dir):
+    """Rolling median over a 7-row frame (SURVEY §2.5 rolling median —
+    exact interpolated percentile as a window aggregate)."""
+    from pyspark.sql import Window
+
+    h = _hourly(spark, sf_dir).select("user_id", "bucket", "sum_cents")
+    w7 = (
+        Window.partitionBy("user_id").orderBy("bucket").rowsBetween(-6, 0)
+    )
+    med = F.expr("percentile(sum_cents, 0.5)").over(w7)
+    return h.select(
+        "user_id", "bucket", F.round(med / 100.0, 9).alias("roll_median7")
+    )
+
+
+ORACLES_TS["rolling_median"] = f"""
+    WITH h AS ({SQL_HOURLY})
+    SELECT user_id, bucket,
+           round(quantile_cont(CAST(sum_cents AS DOUBLE), 0.5) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 9)
+               AS roll_median7
+    FROM h
+"""
+
+QUERIES_TS["rolling_median"] = q_rolling_median
+
+
+def q_one_hot(spark, sf_dir):
+    """One-hot encoding (SURVEY §2.8, encode_features.py:136-156)."""
+    from tsforge_spark.functions.encoders import one_hot_encode
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    return one_hot_encode(
+        ev, "event_type", ["click", "error", "purchase", "signup", "view"]
+    ).drop("event_type")
+
+
+ORACLES_TS["one_hot"] = """
+    SELECT event_id,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS event_type_click,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS event_type_error,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS event_type_purchase,
+           CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS event_type_signup,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type_view
+    FROM events
+"""
+
+QUERIES_TS["one_hot"] = q_one_hot
+
+
+def q_json_props(spark, sf_dir):
+    """JSON payload extraction from the events props column
+    (SURVEY §2.8 array/map/json functions): per event_type stats of k."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+ORACLES_TS["json_props"] = """
+    SELECT event_type,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type
+"""
+
+QUERIES_TS["json_props"] = q_json_props

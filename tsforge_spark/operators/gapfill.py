@@ -37,7 +37,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tsforge_spark.operators.rollup import TIER_TRUNC, bucket_expr
 
 _FREQ_INTERVAL = {
     "1m": "interval 1 minute",

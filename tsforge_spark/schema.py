@@ -41,18 +41,9 @@ TIER_SCHEMA = T.StructType(
     ]
 )
 
-# Gorilla blob table: one row per (conv_id, segment-window) chunk.
-BLOB_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), False),
-        T.StructField("segment", T.TimestampType(), False),  # e.g. day of the chunk
-        T.StructField("tier", T.StringType(), False),
-        T.StructField("n_points", T.IntegerType(), False),
-        T.StructField("raw_bytes", T.LongType(), False),
-        T.StructField("blob_bytes", T.LongType(), False),
-        T.StructField("blob", T.BinaryType(), False),
-    ]
-)
+# Gorilla blob table: one row per (conv_id, segment-window, measure)
+# chunk — canonical definition lives in codec/blobs.py (re-exported here).
+from tsforge_spark.codec.blobs import BLOB_SCHEMA  # noqa: E402,F401
 
 # Lineage record — modeled on the reference lineage dicts
 # (``src/tsforge/workflows/lineage.py:27-74``) but per-partition and
