@@ -344,11 +344,21 @@ def q_cv_folds(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     last = ev.agg(F.max("ts")).collect()[0][0]
     step = dt.timedelta(days=5)
+    ts_type = ev.schema["ts"].dataType.simpleString()
+
+    def wall(dt):
+        # python-datetime literals are interpreted with the DRIVER's
+        # timezone while NTZ casts use the session timezone — routing
+        # through a string keeps the comparison wall-clock under any
+        # session timezone
+        return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(ts_type)
+
     folds = None
     for i in range(3):
         co = last - step * (3 - i)
+        lo, hi = wall(co), wall(co + step)
         f = (
-            ev.filter((F.col("ts") > F.lit(co)) & (F.col("ts") <= F.lit(co + step)))
+            ev.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
             .groupBy()
             .agg(F.count(F.lit(1)).alias("n_rows"), F.sum(_cents()).alias("sum_cents"))
             .withColumn("fold", F.lit(i))
@@ -428,7 +438,12 @@ def q_tpch_pricing_summary(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
     ).cast("long")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast(
+                li.schema["l_shipdate"].dataType.simpleString()
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).alias("sum_qty"),

@@ -85,9 +85,16 @@ def q_minhash_signatures(spark, sf_dir):
 def q_minhash_lsh_jaccard(spark, sf_dir):
     """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
     exact shingle-Jaccard verification; keep pairs with jaccard ≥ 0.2."""
+    from tsforge_spark.operators.dedup import shingle_table
+
     d = _read(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, "doc_id", "text", k_hashes=8, bands=4)
-    jac = ngram_jaccard(pairs, d, "doc_id", "text")
+    # shingles computed once, persisted across the signature and
+    # verification stages (was the slowest query in the suite)
+    sh = shingle_table(d, "doc_id", "text").persist()
+    pairs = lsh_candidate_pairs(
+        d, "doc_id", "text", k_hashes=8, bands=4, shingles=sh
+    )
+    jac = ngram_jaccard(pairs, d, "doc_id", "text", shingles=sh)
     return jac.filter(F.col("jaccard") >= 0.2)
 
 

@@ -306,9 +306,10 @@ def q_mase(spark, sf_dir):
     ev = _read(spark, sf_dir, "events").withColumn(
         "c", F.round(F.col("value") * 100).cast("long")
     )
-    cutoff = "2024-01-21 00:00:00"
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    cutoff = F.lit("2024-01-21 00:00:00").cast(ts_type)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    train = ev.filter(F.col("ts") < F.lit(cutoff))
+    train = ev.filter(F.col("ts") < cutoff)
     wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
     scale = (
         train.withColumn("d", F.abs(F.col("c") - F.lag("c").over(wt)))
@@ -317,7 +318,7 @@ def q_mase(spark, sf_dir):
     )
     test = (
         ev.withColumn("chat", F.lag("c").over(w))
-        .filter((F.col("ts") >= F.lit(cutoff)) & F.col("chat").isNotNull())
+        .filter((F.col("ts") >= cutoff) & F.col("chat").isNotNull())
     )
     err = test.groupBy("user_id").agg(
         (F.sum(F.abs(F.col("chat") - F.col("c"))) / 100.0 / F.count(F.lit(1))).alias("mae"),

@@ -82,14 +82,35 @@ def add_minhash(df: DataFrame, text_col: str, k_hashes: int = 8, shingle_k: int 
     return out
 
 
+def shingle_table(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3) -> DataFrame:
+    """Materializable (id, shingles) table — compute shingles ONCE and
+    feed both the signature and the verification stages."""
+    return df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k_hashes: int = 8, bands: int = 4, shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Band the signature (rows-per-band = k/bands), bucket-join docs
     sharing a band key → candidate pairs (id_a < id_b), deduplicated."""
     rows_per_band = k_hashes // bands
-    sig = add_minhash(df.select(id_col, text_col), text_col, k_hashes, shingle_k)
+    if shingles is not None:
+        # reuse a precomputed (possibly persisted) shingle table instead
+        # of re-deriving shingles from text
+        def one(i: int):
+            return F.array_min(
+                F.transform(F.col("sh"), lambda s: _hash_token(s, i))
+            )
+
+        sig = shingles
+        for i in range(k_hashes):
+            sig = sig.withColumn(f"mh{i}", one(i))
+    else:
+        sig = add_minhash(df.select(id_col, text_col), text_col, k_hashes, shingle_k)
     band_frames = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
@@ -112,11 +133,12 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard(
-    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification
     stage): |A∩B| / |A∪B|."""
-    sh = docs.select(
+    sh = shingles if shingles is not None else docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
     j = (
