@@ -118,3 +118,47 @@ def test_full_run_and_incremental_refold(spark, base_pdf, tmp_path):
     lin = spark.read.parquet(pipe.lineage_path).toPandas()
     assert (lin["stage"] == "ingest").any()
     assert lin["row_count"].sum() >= len(all_pdf)
+
+
+def test_crash_recovery_heals_tiers(spark, tmp_path):
+    """Simulate a crash between the turns-store append and the tier
+    rebuild: the next run must heal the affected day partitions even
+    though dedup reduces the replayed delta to zero new rows."""
+    from pyspark.sql import functions as F
+
+    from tsforge_spark.fixtures import make_transcripts, make_late_batch, transcripts_to_spark
+
+    base = make_transcripts(n_convs=30, seed=21)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    pipe = RollupPipeline(spark, store, str(tmp_path / "out"), n_buckets=8)
+    assert pipe.run()["status"] == "ok"
+
+    # second snapshot lands...
+    late = make_late_batch(base, seed=22)
+    store.append(transcripts_to_spark(spark, late))
+    # ...and the "crashed" run only managed the prepare + turns append:
+    delta = store.read(spark, after=1, upto=2)
+    clean = pipe._prepare(delta)
+    clean.withColumn("day", F.to_date("ts")).write.mode("append").partitionBy(
+        "day", "bucket_id"
+    ).parquet(pipe.turns_path)
+    # tiers are now stale w.r.t. the turns store; checkpoint still at 1.
+
+    # recovery: the normal run replays snapshot 2; dedup yields 0 new
+    # rows but the affected days are rebuilt from the turns store.
+    r = pipe.run()
+    assert r["status"] == "ok"
+    assert r["turns"] == 0  # everything was already appended
+
+    all_pdf = pd.concat([base, late], ignore_index=True)
+    full = RollupPipeline(
+        spark, store, str(tmp_path / "out_full"), n_buckets=8,
+        dedup_against_history=False,
+    )
+    full.run()
+    for tier in ("1m", "1h", "1d"):
+        inc = _tier_norm(pipe.read_tier(tier).toPandas())
+        ful = _tier_norm(full.read_tier(tier).toPandas())
+        pd.testing.assert_frame_equal(inc, ful)
+    assert pipe.verify_text_equality(transcripts_to_spark(spark, all_pdf)) == 0

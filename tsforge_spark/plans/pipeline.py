@@ -7,11 +7,12 @@ Dataflow (full or incremental — same code path):
     → prepare: null-key drop, (conv_id, turn_idx) dedup (in-delta +
       against already-ingested turns for affected buckets), hash-bucket
       repartition + sortWithinPartitions(conv_id, ts, turn_idx)   [§4.2.2]
-    → canonical ordered turns store (partitioned by bucket_id) — the
-      per-turn text-equality invariant surface
-    → 1m tier: groupBy(conv_id, date_trunc(minute, ts)) partial aggs;
-      *merge* into existing cells by re-folding only the affected day
-      partitions (dynamic partition overwrite ≈ Iceberg MERGE INTO)
+    → canonical ordered turns store (partitioned by (day, bucket_id)) —
+      the per-turn text-equality invariant surface and the authoritative
+      source for tier rebuilds
+    → 1m tier: RECOMPUTE the affected day partitions from the turns
+      store (partition-pruned scan; dynamic partition overwrite ≈
+      Iceberg MERGE INTO)
     → 1h, 1d tiers: re-fold affected days from the finer tier (reads
       1/60th resp. 1/24th of the touched rows — continuous aggregates)
     → blobs: re-encode only affected (conv, segment) chunks
@@ -20,8 +21,14 @@ Dataflow (full or incremental — same code path):
 
 A late turn therefore invalidates exactly the 1m day-partitions it lands
 in and their 1h/1d ancestors — nothing else is read or rewritten
-(SURVEY.md §7.4.6); tests/test_incremental.py diffs this against a full
-recompute.
+(SURVEY.md §7.4.6); tests diff this against a full recompute.
+
+Crash safety / idempotence: affected days derive from the RAW delta and
+every stage is a recompute over those days, so replaying a snapshot
+after a crash at ANY point (even after the turns append, when dedup
+yields zero new rows) converges to the same tiers — verified by
+tests/test_pipeline.py::test_crash_recovery_heals_tiers.  The checkpoint
+only advances after all stages commit.
 
 Scale notes: all tier stores are partitioned by event day so incremental
 runs prune at the directory level; merges stage to a scratch dir then
@@ -205,6 +212,20 @@ class RollupPipeline:
         metrics = MetricsLog(os.path.join(self.out, "metrics.jsonl"), job_id)
 
         delta = self.store.read(self.spark, after=after, upto=last)
+        # Affected event days come from the RAW delta — not the deduped
+        # one — so a re-run after a crash (turns already appended, tiers
+        # not yet rebuilt) still knows which day partitions to heal even
+        # though dedup reduces the delta to zero rows.  This is the
+        # crash-safety anchor: every stage below is an idempotent
+        # recompute over these days.
+        affected_days = [
+            r["d"]
+            for r in delta.dropna(subset=["ts"])
+            .select(F.to_date("ts").alias("d"))
+            .distinct()
+            .collect()
+        ]
+
         # Materialize the prepared delta to immutable staging files FIRST:
         # `_prepare` anti-joins against the turns store, so once we append
         # to that store any lazy recomputation of the plan would see its
@@ -216,9 +237,9 @@ class RollupPipeline:
         if first_run:
             # no history → no anti-join self-reference; the turns-store
             # write IS the materialization (saves a full staging write)
-            self._prepare(delta).write.mode("overwrite").partitionBy(
-                "bucket_id"
-            ).parquet(self.turns_path)
+            self._prepare(delta).withColumn("day", F.to_date("ts")).write.mode(
+                "overwrite"
+            ).partitionBy("day", "bucket_id").parquet(self.turns_path)
             clean = self.spark.read.parquet(self.turns_path)
         else:
             shutil.rmtree(ingest_staging, ignore_errors=True)
@@ -228,45 +249,43 @@ class RollupPipeline:
         mark("prepare")
         metrics.log("ingest", rows=n_turns, snapshots=[after + 1, last])
 
-        if n_turns == 0:
-            if not first_run:
-                shutil.rmtree(ingest_staging, ignore_errors=True)
+        if not affected_days:
             ckpt.update(last_snapshot_id=last, runs=ckpt["runs"] + 1)
             self._commit_checkpoint(ckpt)
             return {"status": "empty-delta", "turns": 0}
 
         # canonical ordered turns store (append — rows are new by dedup;
         # on a first run the store write already happened above)
-        if not first_run:
-            clean.write.mode("append").partitionBy("bucket_id").parquet(
-                self.turns_path
-            )
+        if not first_run and n_turns > 0:
+            clean.withColumn("day", F.to_date("ts")).write.mode(
+                "append"
+            ).partitionBy("day", "bucket_id").parquet(self.turns_path)
         mark("turns_store")
 
-        # lineage at the hash-bucket grain
-        counts = [
-            (r["bucket_id"], r["row_count"])
-            for r in bucket_counts(clean, self.n_buckets).collect()
-        ]
-        lineage_rows(
-            self.spark, job_id, "ingest", last, counts, detail=f"after={after}"
-        ).write.mode("append").parquet(self.lineage_path)
+        if n_turns > 0:
+            # lineage at the hash-bucket grain
+            counts = [
+                (r["bucket_id"], r["row_count"])
+                for r in bucket_counts(clean, self.n_buckets).collect()
+            ]
+            lineage_rows(
+                self.spark, job_id, "ingest", last, counts, detail=f"after={after}"
+            ).write.mode("append").parquet(self.lineage_path)
         mark("lineage")
 
-        # ---- 1m tier: merge delta partials into affected day partitions
-        delta_1m = rollup_transcripts(clean.drop("bucket_id"), "1m").withColumn(
-            "day", F.to_date("bucket")
+        # ---- 1m tier: recompute affected day partitions from the
+        # authoritative turns store (day-partition pruned scan).  A full
+        # per-day recompute — rather than merging delta partials into old
+        # cells — makes every run idempotent: replaying the same snapshot
+        # (crash recovery, duplicate batch) converges to the same tiers.
+        turns_aff = self.spark.read.parquet(self.turns_path).filter(
+            F.col("day").isin(affected_days)
         )
-        affected_days = [r["day"] for r in delta_1m.select("day").distinct().collect()]
-        cur_1m = self._read_if_exists(self.tier_path("1m"))
-        if cur_1m is not None:
-            old = cur_1m.filter(F.col("day").isin(affected_days))
-            merged_1m = fold_tier(
-                old.unionByName(delta_1m).drop("day"), "1m"
-            ).withColumn("day", F.to_date("bucket"))
-        else:
-            merged_1m = delta_1m
-        self._merge_partitions(merged_1m, self.tier_path("1m"), "day", "t1m")
+        upd_1m = rollup_transcripts(
+            turns_aff.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+            "1m",
+        ).withColumn("day", F.to_date("bucket"))
+        self._merge_partitions(upd_1m, self.tier_path("1m"), "day", "t1m")
         mark("tier_1m")
         metrics.log("tier_1m", affected_days=len(affected_days))
 
