@@ -26,6 +26,12 @@ ENGINE_CONFS: dict[str, str] = {
     # zstd: ~3x smaller text-heavy writes; trades non-scaling disk IO for
     # CPU, which parallelizes.
     "spark.sql.parquet.compression.codec": "zstd",
+    # v2 committer: task-side file moves; v1's driver-side sequential
+    # commit serializes on file count (day×bucket partitioned writes
+    # produce hundreds of files and made 32 cores SLOWER than 8).
+    # On real object stores the job would use an atomic table format
+    # (Iceberg) instead.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     # Deterministic session timezone — the engine contract is UTC µs.
     "spark.sql.session.timeZone": "UTC",
     # Quiet the UI in the sandbox; harmless on a cluster.
