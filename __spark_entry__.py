@@ -22,9 +22,9 @@ def entry(spark: SparkSession) -> DataFrame:
     algebraic partials → fold to 1h → dense grid + locf gap fill.
     Exercises scan, tumbling rollup, continuous-aggregate fold, grid
     explode, and window locf — the engine read path."""
-    from tsforge_spark.catalog import q_gapfill_locf_hour
+    from tsforge_spark.catalog import q_gapfill_hour
 
-    return q_gapfill_locf_hour(spark, "/root/testdata/sf0.001")
+    return q_gapfill_hour(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

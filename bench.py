@@ -179,8 +179,18 @@ def main() -> None:
             extras["scaling"]["compute_efficiency"] = round(
                 (c_big / c_small) / (n_big / n_small), 3
             )
+            # merge under a keyed entry so repeated runs (and hand-kept
+            # history) accumulate instead of being wiped
+            hist: dict = {}
+            if os.path.exists("BENCH_SCALING.json"):
+                try:
+                    with open("BENCH_SCALING.json") as f:
+                        hist = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    hist = {}
+            hist[f"scaling_{n_small}_to_{n_big}"] = extras["scaling"]
             with open("BENCH_SCALING.json", "w") as f:
-                json.dump(extras["scaling"], f, indent=1)
+                json.dump(hist, f, indent=1)
             main_run = r_big
         else:
             main_run = run_pipeline(CPUS, store_dir, work_root)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tsforge_spark.operators.gapfill import complete_grid, fill_gaps, locf
+from tsforge_spark.operators.gapfill import complete_grid, locf
 from tsforge_spark.operators.rollup import bucket_expr
 
 # ---------------------------------------------------------------- helpers
@@ -86,49 +86,49 @@ def q_rollup_minute(spark, sf_dir):
     )
 
 
-def q_tier_fold_hour(spark, sf_dir):
-    """1m → 1h continuous-aggregate fold from partials (SURVEY §2.9);
-    oracle computes 1h directly from raw rows — proves fold exactness."""
+def q_tier_folds(spark, sf_dir):
+    """1m → 1h → 1d continuous-aggregate fold chain from algebraic
+    partials (SURVEY §2.9), both coarse tiers in one result (``tier``
+    tag); the 1d tier is a fold-of-fold.  The oracle computes each grain
+    directly from raw rows — proving fold exactness transitively."""
     m = _minutely(spark, sf_dir)
-    return m.groupBy("user_id", bucket_expr("bucket", "1h").alias("bucket")).agg(
+    h = m.groupBy("user_id", bucket_expr("bucket", "1h").alias("bucket")).agg(
         F.sum("n_events").alias("n_events"),
         F.sum("sum_cents").alias("sum_cents"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
     )
-
-
-def q_tier_fold_day(spark, sf_dir):
-    h = _hourly(spark, sf_dir)
-    return h.groupBy("user_id", bucket_expr("bucket", "1d").alias("bucket")).agg(
+    d = h.groupBy("user_id", bucket_expr("bucket", "1d").alias("bucket")).agg(
         F.sum("n_events").alias("n_events"),
         F.sum("sum_cents").alias("sum_cents"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
     )
+    return h.withColumn("tier", F.lit("1h")).unionByName(
+        d.withColumn("tier", F.lit("1d"))
+    )
 
 
-def q_gapfill_locf_hour(spark, sf_dir):
-    """Dense hourly grid per user + locf fill (SURVEY §2.9 fill_gaps)."""
-    h = _hourly(spark, sf_dir).select("user_id", "bucket", "sum_cents")
-    grid = complete_grid(h, "user_id", "bucket", "1h")
+def q_gapfill_hour(spark, sf_dir):
+    """Dense hourly grid per user with BOTH fill modes in one pass:
+    locf on the cents column and linear interpolation (clamp mode) on
+    the value column — the per-id window shuffle is shared
+    (SURVEY §2.5/§2.9 fill_gaps)."""
+    from tsforge_spark.operators.gapfill import _interp_exprs
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id", "bucket", "sum_cents",
+        (F.col("sum_cents") / 100.0).alias("vh"),
+    )
+    grid = complete_grid(h.select("user_id", "bucket"), "user_id", "bucket", "1h")
     joined = grid.join(h, ["user_id", "bucket"], "left")
-    return locf(joined, ["sum_cents"], "user_id", "bucket").withColumnRenamed(
-        "sum_cents", "filled_cents"
+    out = locf(joined, ["sum_cents"], "user_id", "bucket")
+    out = _interp_exprs(out, "vh", "user_id", "bucket", "clamp")
+    return out.select(
+        "user_id", "bucket",
+        F.col("sum_cents").alias("filled_cents"),
+        F.col("vh").alias("vh_filled"),
     )
-
-
-def q_gapfill_interpolate_hour(spark, sf_dir):
-    """Linear interpolation (clamp mode) of hourly values on the dense
-    grid — pure-SQL interpolation path (SURVEY §2.5)."""
-    h = (
-        _hourly(spark, sf_dir)
-        .select("user_id", "bucket", (F.col("sum_cents") / 100.0).alias("vh"))
-    )
-    return fill_gaps(
-        h, "user_id", "bucket", "1h",
-        target_col="vh", target_fill="interpolate", method="clamp",
-    ).withColumnRenamed("vh", "vh_filled")
 
 
 def q_rolling_hour_features(spark, sf_dir):
@@ -308,12 +308,15 @@ def q_cyclical_encoding(spark, sf_dir):
     ts = F.col("o_orderdate")
     dow = (F.dayofweek(ts) + 5) % 7
     two_pi = 2 * math.pi
+    # `+ 0.0` normalizes IEEE negative zero: DuckDB round(sin(2π·12/12), 6)
+    # yields -0.0 (bit 0x800...), Spark yields 0.0 — value-equal but the
+    # driver's bitwise hash differs. x + 0.0 maps -0.0 → 0.0 on both engines.
     return d.select(
         ts.alias("d"),
-        F.round(F.sin(dow * two_pi / 7), 6).alias("dow_sin"),
-        F.round(F.cos(dow * two_pi / 7), 6).alias("dow_cos"),
-        F.round(F.sin(F.month(ts) * two_pi / 12), 6).alias("month_sin"),
-        F.round(F.cos(F.month(ts) * two_pi / 12), 6).alias("month_cos"),
+        (F.round(F.sin(dow * two_pi / 7), 6) + 0.0).alias("dow_sin"),
+        (F.round(F.cos(dow * two_pi / 7), 6) + 0.0).alias("dow_cos"),
+        (F.round(F.sin(F.month(ts) * two_pi / 12), 6) + 0.0).alias("month_sin"),
+        (F.round(F.cos(F.month(ts) * two_pi / 12), 6) + 0.0).alias("month_cos"),
     )
 
 
@@ -514,46 +517,34 @@ ORACLES["rollup_minute"] = """
     FROM events GROUP BY 1, 2
 """
 
-ORACLES["tier_fold_hour"] = """
+ORACLES["tier_folds"] = """
     SELECT user_id, date_trunc('hour', ts) AS bucket,
            count(*) AS n_events,
            CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
-           min(value) AS vmin, max(value) AS vmax
+           min(value) AS vmin, max(value) AS vmax,
+           '1h' AS tier
     FROM events GROUP BY 1, 2
-"""
-
-ORACLES["tier_fold_day"] = """
+    UNION ALL
     SELECT user_id, date_trunc('day', ts) AS bucket,
            count(*) AS n_events,
            CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
-           min(value) AS vmin, max(value) AS vmax
+           min(value) AS vmin, max(value) AS vmax,
+           '1d' AS tier
     FROM events GROUP BY 1, 2
 """
 
-ORACLES["gapfill_locf_hour"] = f"""
-    WITH h AS ({SQL_HOURLY}),
-    s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM h GROUP BY 1),
-    g AS (SELECT user_id,
-                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
-          FROM s)
-    SELECT g.user_id, g.bucket,
-           last_value(h.sum_cents IGNORE NULLS) OVER (
-               PARTITION BY g.user_id ORDER BY g.bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS filled_cents
-    FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.bucket = h.bucket
-"""
-
-ORACLES["gapfill_interpolate_hour"] = f"""
+ORACLES["gapfill_hour"] = f"""
     WITH h AS ({SQL_HOURLY}),
     s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM h GROUP BY 1),
     g AS (SELECT user_id,
                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
           FROM s),
-    j AS (SELECT g.user_id, g.bucket, h.sum_cents / 100.0 AS vh
+    j AS (SELECT g.user_id, g.bucket, h.sum_cents,
+                 h.sum_cents / 100.0 AS vh
           FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.bucket = h.bucket),
-    k AS (SELECT user_id, bucket, vh,
+    k AS (SELECT user_id, bucket, sum_cents, vh,
                  epoch_us(bucket) AS t,
+                 last_value(sum_cents IGNORE NULLS) OVER wb AS filled_cents,
                  last_value(vh IGNORE NULLS) OVER wb AS prev_v,
                  last_value(CASE WHEN vh IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER wb AS prev_t,
                  first_value(vh IGNORE NULLS) OVER wf AS next_v,
@@ -563,7 +554,7 @@ ORACLES["gapfill_interpolate_hour"] = f"""
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  wf AS (PARTITION BY user_id ORDER BY bucket
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-    SELECT user_id, bucket,
+    SELECT user_id, bucket, filled_cents,
            CASE WHEN vh IS NOT NULL THEN vh
                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
                      THEN prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
@@ -697,10 +688,10 @@ ORACLES["calendar_features"] = """
 
 ORACLES["cyclical_encoding"] = """
     SELECT DISTINCT o_orderdate AS d,
-           round(sin((isodow(o_orderdate) - 1) * 2 * pi() / 7), 6) AS dow_sin,
-           round(cos((isodow(o_orderdate) - 1) * 2 * pi() / 7), 6) AS dow_cos,
-           round(sin(extract(month FROM o_orderdate) * 2 * pi() / 12), 6) AS month_sin,
-           round(cos(extract(month FROM o_orderdate) * 2 * pi() / 12), 6) AS month_cos
+           round(sin((isodow(o_orderdate) - 1) * 2 * pi() / 7), 6) + 0.0 AS dow_sin,
+           round(cos((isodow(o_orderdate) - 1) * 2 * pi() / 7), 6) + 0.0 AS dow_cos,
+           round(sin(extract(month FROM o_orderdate) * 2 * pi() / 12), 6) + 0.0 AS month_sin,
+           round(cos(extract(month FROM o_orderdate) * 2 * pi() / 12), 6) + 0.0 AS month_cos
     FROM orders
 """
 
@@ -832,10 +823,8 @@ ORACLES.update(ORACLES_TS)
 
 QUERIES = {
     "rollup_minute": q_rollup_minute,
-    "tier_fold_hour": q_tier_fold_hour,
-    "tier_fold_day": q_tier_fold_day,
-    "gapfill_locf_hour": q_gapfill_locf_hour,
-    "gapfill_interpolate_hour": q_gapfill_interpolate_hour,
+    "tier_folds": q_tier_folds,
+    "gapfill_hour": q_gapfill_hour,
     "rolling_hour_features": q_rolling_hour_features,
     "series_diagnostics": q_series_diagnostics,
     "intermittency_sbc": q_intermittency_sbc,

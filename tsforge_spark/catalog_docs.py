@@ -45,11 +45,14 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
+    """Token counting (ws + BPE-ish regex) + order-insensitive document
+    fingerprint, one map-side pass per doc."""
     d = _read(spark, sf_dir, "documents")
-    return d.select(
+    return add_fingerprint(d).select(
         "doc_id",
         token_count_ws(F.col("text")).alias("n_tokens_ws"),
         token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+        "fingerprint",
     )
 
 
@@ -62,11 +65,6 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-def q_fingerprint(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
-    return add_fingerprint(d).select("doc_id", "fingerprint")
-
-
 # ----------------------------------------------------------------- dedup
 
 
@@ -76,9 +74,12 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
+    """Per-doc near-dup signatures: 4-hash MinHash + 16-bit SimHash,
+    all map-side md5-derived expressions."""
     d = _read(spark, sf_dir, "documents")
     return add_minhash(d.select("doc_id", "text"), "text", k_hashes=4).select(
-        "doc_id", "mh0", "mh1", "mh2", "mh3"
+        "doc_id", "mh0", "mh1", "mh2", "mh3",
+        simhash16(F.col("text")).alias("simhash"),
     )
 
 
@@ -98,23 +99,29 @@ def q_minhash_lsh_jaccard(spark, sf_dir):
     return jac.filter(F.col("jaccard") >= 0.2)
 
 
-def q_simhash(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
-
-
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup within label blocks, cosine ≥ 0.30 (threshold fits the synthetic embedding spread)."""
+    """Embedding-cosine near-dup blocked by IVF cell assignment (the
+    scale path: candidate pairs only form inside a cell, never across
+    the full n²), cosine ≥ 0.30 (threshold fits the synthetic embedding
+    spread).  Centroids are the first 16 vectors — deterministic and
+    oracle-checkable; a data-derived fit is ``similarity.kmeans_fit``."""
+    from tsforge_spark.operators.similarity import assign_cells
+
     e = _read(spark, sf_dir, "embeddings")
-    a = e.select(
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    assigned = assign_cells(e, cents)
+    a = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
-        F.col("label").alias("blk"),
+        F.col("cell").alias("blk"),
     )
-    b = e.select(
+    b = assigned.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
-        F.col("label").alias("blk"),
+        F.col("cell").alias("blk"),
     )
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     sim = cosine(
@@ -191,7 +198,10 @@ ORACLES_DOCS["token_counts"] = f"""
     SELECT doc_id,
            len({_TOKS}) AS n_tokens_ws,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-               AS n_tokens_bpe
+               AS n_tokens_bpe,
+           CAST(list_sum(list_transform({_TOKS},
+                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)) % 2147483647
+                AS BIGINT) AS fingerprint
     FROM documents
 """
 
@@ -224,14 +234,6 @@ def _langid_sql() -> str:
 
 ORACLES_DOCS["lang_id"] = _langid_sql()
 
-ORACLES_DOCS["fingerprint"] = f"""
-    SELECT doc_id,
-           CAST(list_sum(list_transform({_TOKS},
-                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)) % 2147483647
-                AS BIGINT) AS fingerprint
-    FROM documents
-"""
-
 ORACLES_DOCS["dedup_clusters"] = """
     SELECT md5(text) AS content_hash,
            count(*) AS cluster_size,
@@ -252,11 +254,23 @@ def _mh_expr(i: int, shingles: str = "sh") -> str:
     )
 
 
+def _simhash_bits(tok_list: str = "tk") -> str:
+    return " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform({tok_list}, "
+        f"t -> (('0x' || substr(md5(t), 1, 8))::BIGINT >> {b}) & 1)) "
+        f">= len({tok_list}) THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+
+
 ORACLES_DOCS["minhash_signatures"] = f"""
-    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh,
+                      list_distinct({_TOKS}) AS tk
+               FROM documents)
     SELECT doc_id,
            {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
-           {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+           {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3,
+           CAST({_simhash_bits()} AS BIGINT) AS simhash
     FROM s
 """
 
@@ -296,35 +310,37 @@ def _lsh_sql() -> str:
 ORACLES_DOCS["minhash_lsh_jaccard"] = _lsh_sql()
 
 
-def _simhash_sql() -> str:
-    toks = f"list_distinct({_TOKS})"
-    bits = " + ".join(
-        f"(CASE WHEN 2 * list_sum(list_transform(tk, "
-        f"t -> (('0x' || substr(md5(t), 1, 8))::BIGINT >> {b}) & 1)) "
-        f">= len(tk) THEN {1 << b} ELSE 0 END)"
-        for b in range(16)
-    )
-    return f"""
-    WITH b AS (SELECT doc_id, {toks} AS tk FROM documents)
-    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM b
-"""
-
-
-ORACLES_DOCS["simhash"] = _simhash_sql()
-
 _COS = (
     "list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE)) / "
     "(sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE))) * "
     "sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE))))"
 )
 
-ORACLES_DOCS["embedding_neardup"] = f"""
-    WITH v AS (SELECT vec_id, embedding AS e, label FROM embeddings)
+def _neardup_sql() -> str:
+    # same cell-assignment machinery as the IVF oracle (argmax cosine
+    # against the 16 fixed centroids), then pairs within a cell only
+    sims = ("list_transform(range(1, 17), k -> "
+            "list_sum(list_transform(range(1, 65), i -> v.e[i]::DOUBLE * cl[k][i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(range(1, 65), i -> v.e[i]::DOUBLE * v.e[i]::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(range(1, 65), i -> cl[k][i]::DOUBLE * cl[k][i]::DOUBLE)))))")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS e FROM embeddings
+                   WHERE vec_id < 16),
+    cl_t AS (SELECT list(e ORDER BY cid) AS cl, list(cid ORDER BY cid) AS cids
+             FROM cents),
+    assigned AS (
+      SELECT v.vec_id, v.e,
+             t.cids[list_position({sims}, list_max({sims}))] AS cell
+      FROM (SELECT vec_id, embedding AS e FROM embeddings) v, cl_t t)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_COS}, 9) AS cos_sim
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE round({_COS}, 9) >= 0.30
 """
+
+
+ORACLES_DOCS["embedding_neardup"] = _neardup_sql()
 
 ORACLES_DOCS["ann_bruteforce"] = f"""
     WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
@@ -372,11 +388,9 @@ QUERIES_DOCS = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
     "dedup_clusters": q_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_jaccard": q_minhash_lsh_jaccard,
-    "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,

@@ -170,7 +170,28 @@ def q_distinct_daily_users(spark, sf_dir):
     )
 
 
+def q_det_sample(spark, sf_dir):
+    """Deterministic sample (SURVEY §2.6; reference seeds sampling with
+    random_state=42, plots/plot_correlation.py:64-69): md5-hash-mod row
+    selection (~2%) — reproducible across engines, partitionings, and
+    runs, unlike engine-native RNG sampling."""
+    ev = _read(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return ev.filter(h % 50 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 ORACLES_EXT: dict[str, str] = {}
+
+ORACLES_EXT["det_sample"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+          % 50 = 0
+"""
 
 ORACLES_EXT["asof_join"] = f"""
     WITH h AS ({SQL_HOURLY})
@@ -286,4 +307,5 @@ QUERIES_EXT = {
     "unpivot_metrics": q_unpivot_metrics,
     "rollup_lattice": q_rollup_lattice,
     "distinct_daily_users": q_distinct_daily_users,
+    "det_sample": q_det_sample,
 }

@@ -41,15 +41,31 @@ def q_sessionize(spark, sf_dir):
     )
 
 
-def q_acf(spark, sf_dir):
-    """Exact ACF at lags 1-3 on the zero-filled hourly series."""
+def q_acf_pacf(spark, sf_dir):
+    """Exact ACF at lags 1-3 on the zero-filled hourly series + PACF via
+    the Durbin–Levinson recursion on the same unrounded ACF values
+    (SURVEY §2.9; reference plots/plot_correlation.py:79-96).  Identical
+    double chains on both sides → bit-exact; + 0.0 normalizes a possible
+    IEEE -0.0 from rounding a tiny negative correlation."""
     y = _zero_filled_hourly(spark, sf_dir)
     out = acf_exact(y, "user_id", "bucket", "c", [1, 2, 3])
+    r1, r2, r3 = F.col("acf_1"), F.col("acf_2"), F.col("acf_3")
+    # Durbin–Levinson: phi_11 = r1; v1 = 1 - r1^2;
+    # phi_22 = (r2 - r1^2)/v1; phi_21 = r1 - phi_22*r1; v2 = v1(1-phi_22^2)
+    # phi_33 = (r3 - phi_21*r2 - phi_22*r1)/v2
+    v1 = F.lit(1.0) - r1 * r1
+    phi22 = (r2 - r1 * r1) / v1
+    phi21 = r1 - phi22 * r1
+    v2 = v1 * (F.lit(1.0) - phi22 * phi22)
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / v2
     return out.select(
         "user_id", "n",
-        F.round("acf_1", 9).alias("acf_1"),
-        F.round("acf_2", 9).alias("acf_2"),
-        F.round("acf_3", 9).alias("acf_3"),
+        (F.round("acf_1", 9) + 0.0).alias("acf_1"),
+        (F.round("acf_2", 9) + 0.0).alias("acf_2"),
+        (F.round("acf_3", 9) + 0.0).alias("acf_3"),
+        (F.round(r1, 9) + 0.0).alias("pacf_1"),
+        (F.round(phi22, 9) + 0.0).alias("pacf_2"),
+        (F.round(phi33, 9) + 0.0).alias("pacf_3"),
     )
 
 
@@ -120,11 +136,13 @@ def _acf_sql() -> str:
             f"           CAST(sum(lead{k}) AS BIGINT) AS tail{k}"
         )
     aggs = ",\n           ".join(agg_cols)
-    acfs = ",\n           ".join(
-        f"round((cross{k} - (CAST(s AS DOUBLE) / n) * (head{k} + tail{k})"
+    # unrounded ACF values (identical double chain to acf_exact), then
+    # Durbin–Levinson PACF from the same unrounded values, rounded last
+    raw_acfs = ",\n           ".join(
+        f"(cross{k} - (CAST(s AS DOUBLE) / n) * (head{k} + tail{k})"
         f" + (n - {k}) * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
-        f" / (ss - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 9)"
-        f" AS acf_{k}"
+        f" / (ss - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+        f" AS r{k}"
         for k in (1, 2, 3)
     )
     return f"""
@@ -136,14 +154,27 @@ def _acf_sql() -> str:
            CAST(sum(c) AS BIGINT) AS s,
            CAST(sum(c * c) AS BIGINT) AS ss,
            {aggs}
-          FROM l GROUP BY user_id)
+          FROM l GROUP BY user_id),
+    r AS (SELECT user_id, n,
+           {raw_acfs}
+          FROM a),
+    dl AS (SELECT user_id, n, r1, r2, r3,
+                  (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+           FROM r)
     SELECT user_id, n,
-           {acfs}
-    FROM a
+           round(r1, 9) + 0.0 AS acf_1,
+           round(r2, 9) + 0.0 AS acf_2,
+           round(r3, 9) + 0.0 AS acf_3,
+           round(r1, 9) + 0.0 AS pacf_1,
+           round(phi22, 9) + 0.0 AS pacf_2,
+           round((r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)
+                 / ((1.0 - r1 * r1) * (1.0 - phi22 * phi22)), 9) + 0.0
+               AS pacf_3
+    FROM dl
 """
 
 
-ORACLES_TS["acf"] = _acf_sql()
+ORACLES_TS["acf_pacf"] = _acf_sql()
 
 ORACLES_TS["perm_entropy"] = f"""
     WITH {_ZF},
@@ -180,7 +211,7 @@ ORACLES_TS["pivot_event_types"] = """
 
 QUERIES_TS = {
     "sessionize": q_sessionize,
-    "acf": q_acf,
+    "acf_pacf": q_acf_pacf,
     "perm_entropy": q_perm_entropy,
     "pivot_event_types": q_pivot_event_types,
 }
@@ -265,11 +296,17 @@ def q_interval_metrics(spark, sf_dir):
         + F.when(F.col("y") < F.col("lo"), (F.col("lo") - F.col("y")) * (2.0 / alpha)).otherwise(0.0)
         + F.when(F.col("y") > F.col("hi"), (F.col("y") - F.col("hi")) * (2.0 / alpha)).otherwise(0.0)
     )
+    # CWC (Khosravi 2011, reference metrics.py:130-138) — exp is libm,
+    # so round to 6 and normalize a possible -0.0 with + 0.0
+    cov_frac = F.sum(covered.cast("long")) / F.count(F.lit(1))
+    cov_err = cov_frac - F.lit(0.8)
+    cwc = (F.lit(1.0) - F.avg(width)) * F.exp(F.lit(-50.0) * cov_err * cov_err)
     return p.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum(covered.cast("long")) * 100.0 / F.count(F.lit(1))).alias("coverage"),
         F.round(F.avg(width), 9).alias("interval_width"),
         (F.sum(F.round(winkler * 1e6).cast("long")) / 1e6 / F.count(F.lit(1))).alias("winkler"),
+        (F.round(cwc, 6) + 0.0).alias("cwc"),
     )
 
 
@@ -289,7 +326,12 @@ ORACLES_TS["interval_metrics"] = """
            CAST(sum(CAST(round((hi - lo
                + CASE WHEN y < lo THEN (lo - y) * 10.0 ELSE 0.0 END
                + CASE WHEN y > hi THEN (y - hi) * 10.0 ELSE 0.0 END) * 1e6)
-               AS BIGINT)) AS BIGINT) / 1e6 / count(*) AS winkler
+               AS BIGINT)) AS BIGINT) / 1e6 / count(*) AS winkler,
+           round((1.0 - avg(hi - lo)) * exp(-50.0 *
+               (CAST(sum(CASE WHEN y >= lo AND y <= hi THEN 1 ELSE 0 END) AS BIGINT)
+                    / count(*) - 0.8)
+             * (CAST(sum(CASE WHEN y >= lo AND y <= hi THEN 1 ELSE 0 END) AS BIGINT)
+                    / count(*) - 0.8)), 6) + 0.0 AS cwc
     FROM p WHERE lo IS NOT NULL
     GROUP BY event_type
 """
@@ -383,49 +425,85 @@ ORACLES_TS["rolling_median"] = f"""
 QUERIES_TS["rolling_median"] = q_rolling_median
 
 
-def q_one_hot(spark, sf_dir):
-    """One-hot encoding (SURVEY §2.8, encode_features.py:136-156)."""
+def q_one_hot_json(spark, sf_dir):
+    """One-hot encoding (SURVEY §2.8, encode_features.py:136-156) + JSON
+    payload extraction from the events props column (SURVEY §2.8
+    array/map/json functions) — per-event indicator columns and the
+    extracted numeric field in one map-side projection."""
     from tsforge_spark.functions.encoders import one_hot_encode
 
-    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
-    return one_hot_encode(
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    out = one_hot_encode(
         ev, "event_type", ["click", "error", "purchase", "signup", "view"]
-    ).drop("event_type")
+    )
+    return out.select(
+        "event_id",
+        *[f"event_type_{t}" for t in ("click", "error", "purchase", "signup", "view")],
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
 
 
-ORACLES_TS["one_hot"] = """
+ORACLES_TS["one_hot_json"] = """
     SELECT event_id,
            CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS event_type_click,
            CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS event_type_error,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS event_type_purchase,
            CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS event_type_signup,
-           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type_view
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type_view,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
 """
 
-QUERIES_TS["one_hot"] = q_one_hot
+QUERIES_TS["one_hot_json"] = q_one_hot_json
 
 
-def q_json_props(spark, sf_dir):
-    """JSON payload extraction from the events props column
-    (SURVEY §2.8 array/map/json functions): per event_type stats of k."""
-    ev = _read(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count(k).alias("n_k"),
-        F.sum(k).alias("k_sum"),
-        F.min(k).alias("k_min"),
-        F.max(k).alias("k_max"),
-    )
+def q_stl_decompose(spark, sf_dir):
+    """Classical additive decomposition (trend / seasonal / resid,
+    period=24) of the zero-filled hourly series — the deterministic,
+    oracle-checkable stand-in for the reference's STL diagnostic
+    (plots/charts/plot_decomposition.py:23-97); see
+    operators/decompose.py for the exactness discipline."""
+    from tsforge_spark.operators.decompose import classical_decompose
+
+    y = _zero_filled_hourly(spark, sf_dir)
+    return classical_decompose(y, "user_id", "bucket", "c", period=24)
 
 
-ORACLES_TS["json_props"] = """
-    SELECT event_type,
-           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-    FROM events GROUP BY event_type
+ORACLES_TS["stl_decompose"] = f"""
+    WITH {_ZF},
+    t AS (SELECT user_id, bucket, c,
+                 CAST(sum(c) OVER w11 AS BIGINT) AS s11,
+                 count(*) OVER w25 AS n25,
+                 lag(c, 12) OVER wo AS c_lo,
+                 lead(c, 12) OVER wo AS c_hi,
+                 extract(hour FROM bucket) AS phase
+          FROM y
+          WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+                 w11 AS (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING),
+                 w25 AS (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    i AS (SELECT user_id, bucket, c, phase,
+                 CASE WHEN n25 = 25 THEN 2 * s11 + c_lo + c_hi END AS trend_sc,
+                 CASE WHEN n25 = 25
+                      THEN 48 * c - (2 * s11 + c_lo + c_hi) END AS d_sc
+          FROM t),
+    ph AS (SELECT user_id, phase,
+                  CAST(sum(d_sc) AS BIGINT) AS sd, count(*) AS n
+           FROM i WHERE d_sc IS NOT NULL GROUP BY 1, 2),
+    pm AS (SELECT user_id, phase, (sd / n) / 4800.0 AS m FROM ph),
+    ce AS (SELECT user_id,
+                  list_reduce(list(m ORDER BY phase), (a, b) -> a + b)
+                      / count(*) AS mbar
+           FROM pm GROUP BY user_id),
+    se AS (SELECT pm.user_id, pm.phase, pm.m - ce.mbar AS seasonal
+           FROM pm JOIN ce ON pm.user_id = ce.user_id)
+    SELECT i.user_id, i.bucket, i.c / 100.0 AS value,
+           i.trend_sc / 4800.0 AS trend,
+           se.seasonal,
+           CASE WHEN i.d_sc IS NOT NULL
+                THEN i.d_sc / 4800.0 - se.seasonal END AS resid
+    FROM i LEFT JOIN se ON i.user_id = se.user_id AND i.phase = se.phase
 """
 
-QUERIES_TS["json_props"] = q_json_props
+QUERIES_TS["stl_decompose"] = q_stl_decompose

@@ -1,10 +1,18 @@
 """Forecast metrics as algebraic aggregate expressions (SURVEY.md §2.8).
 
-Reference formulas preserved exactly, including epsilons:
-``src/tsforge/evaluation/metrics.py:6-177`` —
+Reference: ``src/tsforge/evaluation/metrics.py:6-177`` —
 mae, mse, rmse, mape (mask y≠0, ×100), smape (2·|Δ|/(|y|+|ŷ|+1e-12)·100),
 wape, accuracy = 1−wape, bias, mpe, forecast_bias_ratio = Σŷ/Σy, mase
-(naive-1 in-sample scale); interval metrics: coverage, width, Winkler.
+(naive-1 in-sample scale); interval metrics: coverage, width, Winkler,
+CWC (Khosravi 2011).
+
+Deliberate deviations from the reference (all scaling/guard choices, not
+formula changes): wape / accuracy / coverage / smape are reported ×100
+(percent) where the reference returns fractions, and the reference's
+``+1e-12`` denominator guards on wape and forecast_bias_ratio are
+dropped — an all-zero actuals group yields NULL (honest) instead of a
+finite artifact.  smape keeps its 1e-12 guard (it bounds a per-row
+ratio, not a group sum).
 
 Each metric is a single algebraic ``agg`` expression, so any grouping
 granularity (aggregate / by fold / by id / by fold+id — the Scoreboard of
@@ -43,10 +51,14 @@ def metric_exprs(y: str = "y", yhat: str = "yhat") -> dict[str, Column]:
 
 
 def interval_exprs(
-    y: str = "y", lo: str = "lo_80", hi: str = "hi_80", level: int = 80
+    y: str = "y", lo: str = "lo_80", hi: str = "hi_80", level: int = 80,
+    eta: float = 50.0,
 ) -> dict[str, Column]:
     """Interval metrics (``metrics.py:141-177``): coverage, mean width,
-    Winkler score with alpha = 1 - level/100."""
+    Winkler score with alpha = 1 - level/100, and CWC
+    (Khosravi 2011, ``metrics.py:130-138``):
+    ``(1 − mean_width) · exp(−eta · (coverage − (1 − alpha))²)`` with
+    coverage as a fraction."""
     alpha = 1.0 - level / 100.0
     yv, lov, hiv = F.col(y), F.col(lo), F.col(hi)
     covered = (yv >= lov) & (yv <= hiv)
@@ -56,10 +68,16 @@ def interval_exprs(
         + F.when(yv < lov, 2.0 / alpha * (lov - yv)).otherwise(0.0)
         + F.when(yv > hiv, 2.0 / alpha * (yv - hiv)).otherwise(0.0)
     )
+    cov_frac = F.sum(covered.cast("long")) / F.count(F.lit(1))
+    cov_err = cov_frac - F.lit(1.0 - alpha)
+    cwc = (F.lit(1.0) - F.avg(width)) * F.exp(
+        F.lit(-eta) * cov_err * cov_err
+    )
     return {
         "coverage": F.avg(covered.cast("double")) * 100.0,
         "interval_width": F.avg(width),
         "winkler": F.avg(winkler),
+        "cwc": cwc,
     }
 
 

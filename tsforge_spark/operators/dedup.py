@@ -111,14 +111,26 @@ def lsh_candidate_pairs(
             sig = sig.withColumn(f"mh{i}", one(i))
     else:
         sig = add_minhash(df.select(id_col, text_col), text_col, k_hashes, shingle_k)
-    band_frames = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        key = F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]))
-        band_frames.append(sig.select(F.col(id_col), key.alias("band_key")))
-    keyed = band_frames[0]
-    for f in band_frames[1:]:
-        keyed = keyed.unionByName(f)
+    # One pass: a union of per-band frames would duplicate the signature
+    # plan `bands` times (every mh column re-hashed per branch).  Build
+    # all band keys as one array over the already-computed mh columns and
+    # explode — each signature is derived exactly once per row.
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"mh{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sig.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
     a = keyed.alias("a")
     b_ = keyed.alias("b")
     pairs = (

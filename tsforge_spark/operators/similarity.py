@@ -72,6 +72,61 @@ def assign_cells(
     return emb.withColumn("cell", F.element_at(cids, pos.cast("int")))
 
 
+def kmeans_fit(
+    emb: DataFrame, k: int = 16, iters: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_frac: float | None = None, seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Data-derived IVF centroids: Lloyd iterations as DataFrame ops.
+
+    - init: the ``k`` lowest-id vectors (deterministic, no RNG);
+    - assign: ``assign_cells`` (argmax cosine, map-side);
+    - update: ``posexplode`` the vectors → one ``groupBy(cell, pos)``
+      sum/count aggregate → k·dim rows to the driver (tiny).  Empty
+      cells keep their previous centroid.
+    - ``sample_frac``: fit on a deterministic hash-sample of the data
+      (the usual k-means-on-a-sample scale path; assignment of the full
+      set stays exact).
+
+    Centroid quality, not bit-identity, is the contract here — float
+    sums across partitions are order-dependent, which moves centroids at
+    the ulp level only; the catalog's oracle-checked queries use fixed
+    centroids instead (see q_ann_ivf / q_embedding_neardup)."""
+    import numpy as np
+
+    fit_df = emb.select(id_col, vec_col)
+    if sample_frac is not None:
+        h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10_000))
+        fit_df = fit_df.filter(h < int(sample_frac * 10_000))
+    init = fit_df.orderBy(id_col).limit(k).collect()
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = assign_cells(fit_df, cents, id_col, vec_col)
+        rows = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "x"
+                ),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        dim = len(cents[0][1])
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            arr = sums.setdefault(r["cell"], np.zeros(dim))
+            arr[r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        cents = [
+            (cid, (sums[cid] / counts[cid]).tolist()) if cid in sums else (cid, old)
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame, centroids: list[tuple[int, list[float]]], query_vec,
     k: int, n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",

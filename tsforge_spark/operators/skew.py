@@ -49,13 +49,25 @@ def salted_layout(
     n_buckets: int = 32,
     hot_threshold: int = 100_000,
     block_size: int = 50_000,
+    hot_ids: list | None = None,
 ) -> DataFrame:
     """Add ``bucket_id`` and ``salt`` columns and repartition on both,
-    sorted within partitions by ``(key, ts, order_col)``."""
-    hot = hot_keys(df, key, hot_threshold).withColumn("_hot", F.lit(1))
-    out = df.join(F.broadcast(hot), key, "left")
+    sorted within partitions by ``(key, ts, order_col)``.
+
+    ``hot_ids``: precomputed hot-key values (e.g. from a key aggregate
+    the caller already ran for dedup verification) — skips the internal
+    detection scan.  The hot set is small by definition, so it travels
+    as literals; an empty list means the salt column is a constant and
+    the layout costs exactly one shuffle with no join at all."""
+    if hot_ids is None:
+        hot = hot_keys(df, key, hot_threshold).withColumn("_hot", F.lit(1))
+        out = df.join(F.broadcast(hot), key, "left")
+        is_hot = F.col("_hot").isNotNull()
+    else:
+        out = df
+        is_hot = F.col(key).isin(hot_ids) if hot_ids else F.lit(False)
     salt = F.when(
-        F.col("_hot").isNotNull(),
+        is_hot,
         (F.col(order_col).cast("long") / F.lit(block_size)).cast("int"),
     ).otherwise(F.lit(0))
     out = (
@@ -63,8 +75,9 @@ def salted_layout(
             "bucket_id", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
         )
         .withColumn("salt", salt)
-        .drop("_hot")
     )
+    if hot_ids is None:
+        out = out.drop("_hot")
     return out.repartition("bucket_id", "salt").sortWithinPartitions(
         key, "ts", order_col
     )

@@ -120,47 +120,85 @@ class RollupPipeline:
             return None
 
     # ---- stages ----
-    def _prepare(self, delta: DataFrame) -> DataFrame:
+    def _day_filter(self, col_name: str, days):
+        """Partition filter for a list of affected event days.  Small
+        lists go in as literals (static partition pruning, guaranteed at
+        planning time); a months-long backfill would put thousands of
+        literals in the plan, so large lists become a broadcast semi-join
+        against a days dim (dynamic partition pruning)."""
+        if len(days) <= 200:
+            return lambda df: df.filter(F.col(col_name).isin(days))
+        dim = F.broadcast(
+            self.spark.createDataFrame([(d,) for d in days], "_aff_day date")
+        )
+        return lambda df: df.join(
+            dim, df[col_name] == dim["_aff_day"], "left_semi"
+        )
+
+    def _prepare(self, delta: DataFrame, affected_days=None) -> DataFrame:
         """Clean + dedup + canonical bucketed/ordered layout.
 
-        Dedup fast path: ``(conv_id, turn_idx)`` uniqueness is the input
-        contract, so we first VERIFY it with a key-only aggregate (two
-        narrow columns shuffle, not the full text payload) and run the
-        full-row ``dropDuplicates`` shuffle only when violations exist —
-        on clean data this halves the shuffled bytes of the ingest."""
+        ONE key-only aggregate over the delta (conv_id grain) yields both
+        dedup verification and hot-key detection — ``total > n_distinct
+        (turn_idx)`` means duplicate keys exist (uniqueness of
+        ``(conv_id, turn_idx)`` is the input contract, so the full-row
+        ``dropDuplicates`` shuffle runs only when violations exist), and
+        ``total > hot_threshold`` marks conversations needing block
+        salting.  Previously these were two separate full-delta scans."""
         clean = delta.dropna(subset=["conv_id", "turn_idx", "ts"])
-        dups = (
-            clean.groupBy("conv_id", "turn_idx")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
+        conv_stats = (
+            clean.groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("_total"),
+                F.count_distinct("turn_idx").alias("_nkeys"),
+            )
+            .persist()
         )
-        if dups:
+        has_dups = (
+            conv_stats.filter(F.col("_total") > F.col("_nkeys")).limit(1).count()
+            > 0
+        )
+        # the hot set is small by definition (threshold rows each) — it
+        # moves to the driver and back as literals, replacing a second
+        # detection scan AND the broadcast join inside salted_layout
+        hot_ids = [
+            r["conv_id"]
+            for r in conv_stats.filter(
+                F.col("_total") > self.hot_threshold
+            ).collect()
+        ]
+        conv_stats.unpersist()
+        if has_dups:
             clean = clean.dropDuplicates(["conv_id", "turn_idx"])
-        clean = clean.withColumn(
-            "bucket_id",
-            F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int"),
-        )
         existing = self._read_if_exists(self.turns_path)
         if self.dedup_against_history and existing is not None:
-            # exactly-once ingest: drop turns already processed; prune to
-            # affected bucket partitions only.
-            keys = existing.select("bucket_id", "conv_id", "turn_idx")
-            clean = clean.join(
+            # exactly-once ingest: drop turns already processed.  The
+            # turns store is day-partitioned; only the delta's affected
+            # days can contain prior copies of its keys, so the history
+            # scan partition-prunes to those days instead of growing with
+            # total history size.
+            keys = existing
+            if affected_days:
+                keys = self._day_filter("day", affected_days)(keys)
+            keys = keys.select("bucket_id", "conv_id", "turn_idx")
+            clean = clean.withColumn(
+                "bucket_id",
+                F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int"),
+            ).join(
                 keys, ["bucket_id", "conv_id", "turn_idx"], "left_anti"
-            )
+            ).drop("bucket_id")
         # canonical layout: hash buckets + explicit hot-conversation salt
         # (operators/skew.py) + stable (conv_id, ts, turn_idx) order
         from tsforge_spark.operators.skew import salted_layout
 
         return salted_layout(
-            clean.drop("bucket_id"),
+            clean,
             key="conv_id",
             order_col="turn_idx",
             n_buckets=self.n_buckets,
             hot_threshold=self.hot_threshold,
             block_size=self.hot_block_size,
+            hot_ids=hot_ids,
         )
 
     def _stage_dir(self, name: str) -> str:
@@ -237,13 +275,17 @@ class RollupPipeline:
         if first_run:
             # no history → no anti-join self-reference; the turns-store
             # write IS the materialization (saves a full staging write)
-            self._prepare(delta).withColumn("day", F.to_date("ts")).write.mode(
-                "overwrite"
-            ).partitionBy("day", "bucket_id").parquet(self.turns_path)
+            self._prepare(delta, affected_days).withColumn(
+                "day", F.to_date("ts")
+            ).write.mode("overwrite").partitionBy("day", "bucket_id").parquet(
+                self.turns_path
+            )
             clean = self.spark.read.parquet(self.turns_path)
         else:
             shutil.rmtree(ingest_staging, ignore_errors=True)
-            self._prepare(delta).write.mode("overwrite").parquet(ingest_staging)
+            self._prepare(delta, affected_days).write.mode("overwrite").parquet(
+                ingest_staging
+            )
             clean = self.spark.read.parquet(ingest_staging)
         n_turns = clean.count()
         mark("prepare")
@@ -278,9 +320,8 @@ class RollupPipeline:
         # per-day recompute — rather than merging delta partials into old
         # cells — makes every run idempotent: replaying the same snapshot
         # (crash recovery, duplicate batch) converges to the same tiers.
-        turns_aff = self.spark.read.parquet(self.turns_path).filter(
-            F.col("day").isin(affected_days)
-        )
+        day_filter = self._day_filter("day", affected_days)
+        turns_aff = day_filter(self.spark.read.parquet(self.turns_path))
         upd_1m = rollup_transcripts(
             turns_aff.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
             "1m",
@@ -290,9 +331,7 @@ class RollupPipeline:
         metrics.log("tier_1m", affected_days=len(affected_days))
 
         # ---- 1h / 1d tiers: re-fold affected days from the finer tier
-        upd_1m = self.spark.read.parquet(self.tier_path("1m")).filter(
-            F.col("day").isin(affected_days)
-        )
+        upd_1m = day_filter(self.spark.read.parquet(self.tier_path("1m")))
         upd_1h = fold_tier(upd_1m.drop("day"), "1h").withColumn(
             "day", F.to_date("bucket")
         )
@@ -309,19 +348,26 @@ class RollupPipeline:
         # ---- blobs: re-encode affected (tier, segment) chunks — all three
         # tiers unioned into ONE write job (fewer fixed-cost job launches;
         # blobs derive from tier tables, so no staging needed)
+        import datetime as _dt
+
+        def _py_trunc(d: _dt.date, unit: str) -> _dt.datetime:
+            # Python twin of Spark date_trunc on a date (no Spark jobs for
+            # what is a handful of driver-side dates)
+            if unit == "month":
+                d = d.replace(day=1)
+            elif unit == "week":
+                d = d - _dt.timedelta(days=d.weekday())
+            return _dt.datetime(d.year, d.month, d.day)
+
         all_blobs = None
+        affected_seg_days: set = set()
         for tier in TIERS:
             seg_unit = SEGMENT_TRUNC[tier]
             tier_df = self.spark.read.parquet(self.tier_path(tier))
-            seg_of_day = [
-                r["seg"]
-                for r in self.spark.createDataFrame(
-                    [(d,) for d in affected_days], "day date"
-                )
-                .select(F.date_trunc(seg_unit, F.col("day").cast("timestamp")).alias("seg"))
-                .distinct()
-                .collect()
-            ]
+            seg_of_day = sorted(
+                {_py_trunc(d, seg_unit) for d in affected_days}
+            )
+            affected_seg_days.update(s.date() for s in seg_of_day)
             affected = tier_df.filter(
                 F.date_trunc(seg_unit, F.col("bucket")).isin(seg_of_day)
             )
@@ -333,14 +379,18 @@ class RollupPipeline:
         self._merge_partitions(
             all_blobs, self.blobs_path, ["tier_part", "seg_day"], "blobs"
         )
-        total_blob_bytes = (
+        # bytes written THIS run: sum only the seg_day partitions just
+        # rewritten (partition-pruned scan) — a whole-store rescan would
+        # grow with history
+        blob_bytes_written = (
             self.spark.read.parquet(self.blobs_path)
+            .filter(F.col("seg_day").isin(sorted(affected_seg_days)))
             .agg(F.sum("blob_bytes"))
             .collect()[0][0]
             or 0
         )
         mark("blobs")
-        metrics.log("blobs", blob_bytes=int(total_blob_bytes))
+        metrics.log("blobs", blob_bytes_written=int(blob_bytes_written))
 
         shutil.rmtree(ingest_staging, ignore_errors=True)
         ckpt.update(last_snapshot_id=last, runs=ckpt["runs"] + 1)
@@ -352,7 +402,7 @@ class RollupPipeline:
             "turns": n_turns,
             "wall_sec": wall,
             "turns_per_sec": n_turns / wall,
-            "blob_bytes": int(total_blob_bytes),
+            "blob_bytes": int(blob_bytes_written),
             "last_snapshot_id": last,
             "affected_days": len(affected_days),
             "stage_sec": stage_sec,
