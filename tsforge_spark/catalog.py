@@ -152,8 +152,9 @@ def q_rolling_hour_features(spark, sf_dir):
 
 
 def q_series_diagnostics(spark, sf_dir):
-    """Per-series span/delta/gap diagnostics (SURVEY §2.4,
-    eda/diagnostics.py:163-223)."""
+    """Per-series span/delta/gap diagnostics + seasonal-period band
+    classifier (SURVEY §2.4, eda/diagnostics.py:163-244: obs_per_year =
+    n/span_days·365.25 → np.select bands {365, 52, 12, 4, 1})."""
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731  (ts is NTZ in testdata parquet)
@@ -166,12 +167,26 @@ def q_series_diagnostics(spark, sf_dir):
         (F.sum("_d") / F.count("_d") / 1e6).alias("delta_mean_s"),
         (F.expr("percentile(_d, 0.5)") / 1e6).alias("delta_median_s"),
     )
-    expected = (
-        (F.unix_micros(F.col("end_ts").cast("timestamp"))
-         - F.unix_micros(F.col("start_ts").cast("timestamp")))
-        / F.lit(3600e6)
-    ).cast("long") + 1
-    return out.withColumn("expected_hours", expected)
+    span_us = (
+        F.unix_micros(F.col("end_ts").cast("timestamp"))
+        - F.unix_micros(F.col("start_ts").cast("timestamp"))
+    )
+    expected = (span_us / F.lit(3600e6)).cast("long") + 1
+    span_days = span_us / F.lit(86400e6)
+    opy = F.when(span_days > 0, F.col("n_obs") / span_days * 365.25)
+    period = (
+        F.when((opy >= 360) & (opy <= 370), 365.0)
+        .when((opy >= 50) & (opy <= 54), 52.0)
+        .when((opy >= 11) & (opy <= 13), 12.0)
+        .when((opy >= 3) & (opy <= 5), 4.0)
+        .when(opy.isNotNull(), 1.0)
+    )
+    return (
+        out.withColumn("expected_hours", expected)
+        .withColumn("span_days", span_days)
+        .withColumn("obs_per_year", opy)
+        .withColumn("seasonal_period", period)
+    )
 
 
 def q_intermittency_sbc(spark, sf_dir):
@@ -585,15 +600,32 @@ ORACLES["series_diagnostics"] = """
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
       FROM events)
-    SELECT user_id,
-           count(*) AS n_obs,
-           min(ts) AS start_ts,
-           max(ts) AS end_ts,
-           sum(delta_us) / count(delta_us) / 1e6 AS delta_mean_s,
-           quantile_cont(CAST(delta_us AS DOUBLE), 0.5) / 1e6 AS delta_median_s,
-           CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600e6) AS BIGINT) + 1
-               AS expected_hours
-    FROM d GROUP BY user_id
+    , a AS (
+      SELECT user_id,
+             count(*) AS n_obs,
+             min(ts) AS start_ts,
+             max(ts) AS end_ts,
+             sum(delta_us) / count(delta_us) / 1e6 AS delta_mean_s,
+             quantile_cont(CAST(delta_us AS DOUBLE), 0.5) / 1e6 AS delta_median_s
+      FROM d GROUP BY user_id),
+    b AS (
+      SELECT *,
+             CAST(floor((epoch_us(end_ts) - epoch_us(start_ts)) / 3600e6)
+                  AS BIGINT) + 1 AS expected_hours,
+             (epoch_us(end_ts) - epoch_us(start_ts)) / 86400e6 AS span_days
+      FROM a),
+    c AS (
+      SELECT *,
+             CASE WHEN span_days > 0
+                  THEN n_obs / span_days * 365.25 END AS obs_per_year
+      FROM b)
+    SELECT *,
+           CASE WHEN obs_per_year >= 360 AND obs_per_year <= 370 THEN 365.0
+                WHEN obs_per_year >= 50 AND obs_per_year <= 54 THEN 52.0
+                WHEN obs_per_year >= 11 AND obs_per_year <= 13 THEN 12.0
+                WHEN obs_per_year >= 3 AND obs_per_year <= 5 THEN 4.0
+                WHEN obs_per_year IS NOT NULL THEN 1.0 END AS seasonal_period
+    FROM c
 """
 
 ORACLES["intermittency_sbc"] = f"""

@@ -112,7 +112,9 @@ def q_embedding_neardup(spark, sf_dir):
         (r["vec_id"], list(r["embedding"]))
         for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
-    assigned = assign_cells(e, cents)
+    # persist the assignment: both self-join sides read it, and the
+    # 16-centroid argmax is the expensive part of the plan
+    assigned = assign_cells(e, cents).persist()
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),

@@ -130,7 +130,12 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    keyed = sig.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    # persist the band table before the self-join: it is tiny (bands
+    # rows per doc, two narrow columns) and both join sides read it —
+    # without the persist each side re-derives every signature hash
+    keyed = sig.select(
+        F.col(id_col), F.explode(band_keys).alias("band_key")
+    ).persist()
     a = keyed.alias("a")
     b_ = keyed.alias("b")
     pairs = (

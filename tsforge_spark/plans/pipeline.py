@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from tsforge_spark.codec.blobs import SEGMENT_TRUNC, decode_blobs, encode_tier_blobs
 from tsforge_spark.operators.rollup import fold_tier, rollup_transcripts
-from tsforge_spark.plans.lineage import MetricsLog, bucket_counts, lineage_rows, new_job_id
+from tsforge_spark.plans.lineage import MetricsLog, lineage_rows, new_job_id
 from tsforge_spark.sources.snapshots import SnapshotStore
 
 TIERS = ["1m", "1h", "1d"]
@@ -138,36 +138,66 @@ class RollupPipeline:
     def _prepare(self, delta: DataFrame, affected_days=None) -> DataFrame:
         """Clean + dedup + canonical bucketed/ordered layout.
 
-        ONE key-only aggregate over the delta (conv_id grain) yields both
-        dedup verification and hot-key detection — ``total > n_distinct
-        (turn_idx)`` means duplicate keys exist (uniqueness of
-        ``(conv_id, turn_idx)`` is the input contract, so the full-row
-        ``dropDuplicates`` shuffle runs only when violations exist), and
-        ``total > hot_threshold`` marks conversations needing block
-        salting.  Previously these were two separate full-delta scans."""
+        Two key-only probes run CONCURRENTLY (narrow column-pruned scans
+        submitted from separate threads fill each other's idle task
+        slots):
+
+        - dedup verification on the 64-bit key hash — uniqueness of
+          ``(conv_id, turn_idx)`` is the input contract, so the full-row
+          ``dropDuplicates`` shuffle runs only when violations exist.
+          Hashing shrinks the probe shuffle to 8-byte keys; a hash
+          collision can only cause a false *positive* verdict (an
+          unnecessary dropDuplicates pass), never a wrong result.
+        - hot-key detection via a map-side-combined per-conv count; the
+          hot set is small by definition and travels back as literals,
+          replacing the broadcast join inside salted_layout."""
         clean = delta.dropna(subset=["conv_id", "turn_idx", "ts"])
-        conv_stats = (
-            clean.groupBy("conv_id")
-            .agg(
-                F.count(F.lit(1)).alias("_total"),
-                F.count_distinct("turn_idx").alias("_nkeys"),
+
+        def _dup_probe() -> bool:
+            return (
+                clean.select(
+                    F.xxhash64("conv_id", "turn_idx").alias("_h")
+                )
+                .groupBy("_h")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+                > 0
             )
-            .persist()
-        )
-        has_dups = (
-            conv_stats.filter(F.col("_total") > F.col("_nkeys")).limit(1).count()
-            > 0
-        )
-        # the hot set is small by definition (threshold rows each) — it
-        # moves to the driver and back as literals, replacing a second
-        # detection scan AND the broadcast join inside salted_layout
-        hot_ids = [
-            r["conv_id"]
-            for r in conv_stats.filter(
-                F.col("_total") > self.hot_threshold
-            ).collect()
-        ]
-        conv_stats.unpersist()
+
+        def _hot_probe() -> tuple:
+            # one narrow aggregate, two tiny derivations off its ~n_convs
+            # rows: the hot set AND per-bucket row counts (pre-dedup —
+            # exact on contract-clean input; the rare dirty case falls
+            # back to a readback count in run())
+            per_conv = clean.groupBy("conv_id").count().persist()
+            hots = [
+                r["conv_id"]
+                for r in per_conv.filter(
+                    F.col("count") > self.hot_threshold
+                ).collect()
+            ]
+            buckets = [
+                (int(r["bucket_id"]), int(r["rows"]))
+                for r in per_conv.groupBy(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
+                    .cast("int")
+                    .alias("bucket_id")
+                )
+                .agg(F.sum("count").alias("rows"))
+                .collect()
+            ]
+            per_conv.unpersist()
+            return hots, buckets
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            f_dup = ex.submit(_dup_probe)
+            f_hot = ex.submit(_hot_probe)
+            has_dups, (hot_ids, probe_buckets) = f_dup.result(), f_hot.result()
+        self._probe_info = {"has_dups": has_dups, "buckets": probe_buckets}
         if has_dups:
             clean = clean.dropDuplicates(["conv_id", "turn_idx"])
         existing = self._read_if_exists(self.turns_path)
@@ -249,20 +279,29 @@ class RollupPipeline:
         job_id = new_job_id()
         metrics = MetricsLog(os.path.join(self.out, "metrics.jsonl"), job_id)
 
+        from pyspark.sql import Observation
+
         delta = self.store.read(self.spark, after=after, upto=last)
-        # Affected event days come from the RAW delta — not the deduped
-        # one — so a re-run after a crash (turns already appended, tiers
-        # not yet rebuilt) still knows which day partitions to heal even
-        # though dedup reduces the delta to zero rows.  This is the
-        # crash-safety anchor: every stage below is an idempotent
-        # recompute over these days.
-        affected_days = [
-            r["d"]
-            for r in delta.dropna(subset=["ts"])
-            .select(F.to_date("ts").alias("d"))
-            .distinct()
-            .collect()
-        ]
+        first_run = after == 0 and not os.path.exists(self.turns_path)
+        if first_run:
+            # no history → the prepared delta's days == the raw delta's
+            # days, so they come FREE from the write-job observation below
+            affected_days = None
+        else:
+            # Affected event days come from the RAW delta — not the
+            # deduped one — so a re-run after a crash (turns already
+            # appended, tiers not yet rebuilt) still knows which day
+            # partitions to heal even though dedup reduces the delta to
+            # zero rows.  This is the crash-safety anchor: every stage
+            # below is an idempotent recompute over these days.
+            # (Incremental deltas are small; this scan is cheap.)
+            affected_days = [
+                r["d"]
+                for r in delta.dropna(subset=["ts"])
+                .select(F.to_date("ts").alias("d"))
+                .distinct()
+                .collect()
+            ]
 
         # Materialize the prepared delta to immutable staging files FIRST:
         # `_prepare` anti-joins against the turns store, so once we append
@@ -270,24 +309,49 @@ class RollupPipeline:
         # own output and produce an empty delta.  Staging breaks the
         # self-referential lineage (on Iceberg, snapshot isolation of the
         # MERGE does this for free).
-        first_run = after == 0 and not os.path.exists(self.turns_path)
         ingest_staging = self._stage_dir("ingest")
+        prepared = self._prepare(delta, affected_days).withColumn(
+            "day", F.to_date("ts")
+        )
         if first_run:
-            # no history → no anti-join self-reference; the turns-store
-            # write IS the materialization (saves a full staging write)
-            self._prepare(delta, affected_days).withColumn(
-                "day", F.to_date("ts")
+            # row count + affected-day set ride the write job as
+            # observation metrics (two cheap exprs — on Iceberg these
+            # come from the commit's manifest statistics); no history →
+            # no anti-join self-reference, so the turns-store write IS
+            # the materialization (saves a full staging write)
+            obs = Observation()
+            prepared.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.collect_set("day").alias("days"),
             ).write.mode("overwrite").partitionBy("day", "bucket_id").parquet(
                 self.turns_path
             )
+            observed = obs.get
+            n_turns = int(observed["rows"] or 0)
+            affected_days = sorted(observed["days"] or [])
             clean = self.spark.read.parquet(self.turns_path)
+            if self._probe_info["has_dups"]:
+                # rare dirty-input path: probe counts were pre-dedup —
+                # recount from the written store
+                bucket_rows = clean.groupBy("bucket_id").count().collect()
+                counts = [
+                    (int(r["bucket_id"]), int(r["count"])) for r in bucket_rows
+                ]
+            else:
+                counts = self._probe_info["buckets"]
         else:
             shutil.rmtree(ingest_staging, ignore_errors=True)
-            self._prepare(delta, affected_days).write.mode("overwrite").parquet(
-                ingest_staging
-            )
+            prepared.write.mode("overwrite").parquet(ingest_staging)
             clean = self.spark.read.parquet(ingest_staging)
-        n_turns = clean.count()
+            # incremental deltas are small — one narrow readback
+            # aggregate yields the exact post-anti-join row count and
+            # per-bucket lineage counts
+            bucket_rows = clean.groupBy("bucket_id").count().collect()
+            counts = [
+                (int(r["bucket_id"]), int(r["count"])) for r in bucket_rows
+            ]
+            n_turns = int(sum(c for _, c in counts))
         mark("prepare")
         metrics.log("ingest", rows=n_turns, snapshots=[after + 1, last])
 
@@ -299,17 +363,14 @@ class RollupPipeline:
         # canonical ordered turns store (append — rows are new by dedup;
         # on a first run the store write already happened above)
         if not first_run and n_turns > 0:
-            clean.withColumn("day", F.to_date("ts")).write.mode(
-                "append"
-            ).partitionBy("day", "bucket_id").parquet(self.turns_path)
+            clean.write.mode("append").partitionBy("day", "bucket_id").parquet(
+                self.turns_path
+            )
         mark("turns_store")
 
         if n_turns > 0:
-            # lineage at the hash-bucket grain
-            counts = [
-                (r["bucket_id"], r["row_count"])
-                for r in bucket_counts(clean, self.n_buckets).collect()
-            ]
+            # lineage at the hash-bucket grain (probe aggregate on first
+            # runs, staging readback on incremental runs)
             lineage_rows(
                 self.spark, job_id, "ingest", last, counts, detail=f"after={after}"
             ).write.mode("append").parquet(self.lineage_path)
