@@ -323,3 +323,34 @@ def ts_features(
         )
 
     return df.groupBy(id_col).applyInPandas(feats, schema=_TSFEAT_SCHEMA)
+
+
+def hierarchical_ts_features(
+    df: DataFrame,
+    level_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1h",
+    freq: int = 24,
+) -> DataFrame:
+    """Per-level ts-feature battery (reference hierarchical_tsfeatures,
+    eda/diagnostics.py:82-130): for each hierarchy level, aggregate the
+    target to (level value, time bucket) series, run ``ts_features``,
+    and union the results tagged with the level name.  One aggregate +
+    one grouped-map kernel per level — each level's series table is far
+    smaller than the base data, so the lattice costs less than one extra
+    base scan."""
+    from tsforge_spark.operators.rollup import bucket_expr
+
+    out = None
+    for level in level_cols:
+        series = df.groupBy(
+            F.col(level).cast("string").alias("_series_id"),
+            bucket_expr(ts_col, bucket).alias("_bucket"),
+        ).agg(F.sum(value_col).alias("_v"))
+        feats = ts_features(series, "_series_id", "_bucket", "_v", freq=freq)
+        feats = feats.withColumnRenamed("series_id", "hier_id").withColumn(
+            "level", F.lit(level)
+        )
+        out = feats if out is None else out.unionByName(feats)
+    return out
