@@ -54,12 +54,25 @@ def _hash_token(t: Column, salt: int) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as strings (distinct)."""
+    """k-word shingles as strings (distinct).
+
+    Built by zipping the token array with its own k−1 shifted copies —
+    O(n·k) per document.  (A per-index ``slice`` is O(n²) per document
+    and dominated the whole LSH pipeline.)  Shingle ORDER differs from a
+    positional-slice construction but the SET is identical, and every
+    consumer is order-independent (``array_min`` minhash, set Jaccard).
+    """
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(sh)
+    sh = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        # zip_with pads the shorter side with null; concat propagates it,
+        # so tail entries (incomplete shingles) become null and drop below
+        sh = F.zip_with(
+            sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
 
 
 def minhash_signature(text: Column, k_hashes: int = 8, shingle_k: int = 3) -> list[Column]:
