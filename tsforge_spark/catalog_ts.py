@@ -507,3 +507,21 @@ ORACLES_TS["stl_decompose"] = f"""
 """
 
 QUERIES_TS["stl_decompose"] = q_stl_decompose
+
+
+def q_ts_battery(spark, sf_dir):
+    """Per-series UDF feature battery (SURVEY §2.9,
+    eda/ts_features_extension.py:26-195): spectral entropy, DFA, MI lag
+    concentration, seasonal strengths, forecastability.  Genuinely
+    non-SQL-expressible (FFT / DFA / histogram-MI kernels) — no DuckDB
+    oracle; the driver records a rows-only check and the numeric
+    semantics are pinned by pandas-oracle pytest (test_decompose)."""
+    from tsforge_spark.operators.sessions import ts_features
+
+    y = _zero_filled_hourly(spark, sf_dir).withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+    return ts_features(y, "user_id", "bucket", "c", freq=24)
+
+
+QUERIES_TS["ts_battery"] = q_ts_battery

@@ -111,3 +111,137 @@ def decode_image_features(
             )
 
     return df.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing: Arrow-batched ``mapInPandas`` with a fixed output
+    shape contract (``width·height`` bytes per row).  Real decode+resample
+    is env-gated like ``decode_image_features``; the ``fake=True`` path is
+    a deterministic nearest-neighbor resample of the raw byte stream —
+    the batch shape, schema, and byte-bounding behavior are exactly what
+    a real PIL/libvips kernel would see."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass fake=True for the deterministic stub"
+                )
+            out = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                idx = np.minimum(
+                    (np.arange(target) * len(b) // target), len(b) - 1
+                )
+                out.append(b[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "payload": out,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000, frame_bytes: int = 256,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame sampling plumbing (1 row in → ``duration/every_ms`` rows
+    out): the UDTF-shaped fan-out a real ffmpeg keyframe sampler needs,
+    with the same bounded-batch properties.  ``fake=True`` slices the
+    payload deterministically per frame index."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass fake=True for the deterministic stub"
+                )
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, dur, payload in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                if dur is None or pd.isna(dur):
+                    continue
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = max(int(dur) // every_ms, 1)
+                for k in range(n_frames):
+                    start = (k * len(b) // n_frames) if len(b) else 0
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    frames.append(b[start: start + frame_bytes].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "ts_ms": np.asarray(tss, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return df.select("media_id", "duration_ms", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+def media_embedding_neardup(
+    df: DataFrame, dim: int = 8, k_cells: int = 4, threshold: float = 0.5,
+    fake: bool = False,
+) -> DataFrame:
+    """Compose the multimodal decode with the embedding near-dup scale
+    path: payload → feature vector (``decode_image_features``) → IVF cell
+    assignment (first ``k_cells`` vectors as centroids) → within-cell
+    cosine pairs ≥ threshold.  The same wiring a 100 TB image-dedup job
+    uses (cell is the blocking/partition key; no all-pairs join)."""
+    from tsforge_spark.operators.similarity import assign_cells, cosine
+
+    feats = decode_image_features(df, dim=dim, fake=fake).withColumn(
+        "feature", F.col("feature").cast("array<double>")
+    ).persist()
+    cents = [
+        (int(r["media_id"]), list(r["feature"]))
+        for r in feats.orderBy("media_id").limit(k_cells).collect()
+    ]
+    assigned = assign_cells(feats, cents, "media_id", "feature").persist()
+    a = assigned.select(
+        F.col("media_id").alias("id_a"), F.col("feature").alias("va"),
+        F.col("cell").alias("blk"),
+    )
+    b = assigned.select(
+        F.col("media_id").alias("id_b"), F.col("feature").alias("vb"),
+        F.col("cell").alias("blk"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
