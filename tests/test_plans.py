@@ -87,6 +87,47 @@ def test_window_features_share_one_shuffle(spark, events):
     assert n_shuffles(plan) <= 2, plan
 
 
+def test_gapfill_fills_share_one_window_exchange(spark):
+    """locf(filled_cents) + linear-interp(vh) in one query must reuse a
+    single per-user window shuffle, not one per fill column."""
+    from tsforge_spark.catalog import q_gapfill_hour
+
+    plan = plan_of(q_gapfill_hour(spark, SF))
+    # groupBy(user,bucket) hourly agg + grid span agg + ONE window
+    # exchange shared by all four window fill expressions
+    assert n_shuffles(plan) <= 3, plan
+    # both edge-fill directions live in Window nodes, no UDF anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_has_no_cartesian_product(spark):
+    """Near-dup candidate generation must be an equi-join on band keys —
+    never an all-pairs product (the thing that cannot scale)."""
+    from tsforge_spark.catalog_docs import q_minhash_lsh_jaccard
+
+    plan = plan_of(q_minhash_lsh_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_blocks_on_cells(spark):
+    from tsforge_spark.catalog_docs import q_embedding_neardup
+
+    plan = plan_of(q_embedding_neardup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stl_decompose_plan_shape(spark):
+    """Decomposition = one per-series window + one (id, phase) aggregate
+    + small joins back — and stays entirely JVM-side (no Python UDF)."""
+    from tsforge_spark.catalog_ts import q_stl_decompose
+
+    plan = plan_of(q_stl_decompose(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tier_fold_prunes_day_partitions(spark, tmp_path):
     from tsforge_spark.operators.rollup import rollup_transcripts
 
