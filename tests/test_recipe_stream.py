@@ -109,3 +109,30 @@ def test_stateful_conversation_tracker(spark, transcripts, transcripts_pdf, tmp_
     assert (
         last["tool_calls"].sort_index() == want["tool_calls"].sort_index()
     ).all()
+
+
+def test_stream_dedup_within_watermark(spark, transcripts, transcripts_pdf, tmp_path):
+    """Duplicated input stream → dropDuplicatesWithinWatermark on the
+    (conv_id, turn_idx) contract key restores exactly-once turns."""
+    from tsforge_spark.streaming.stream import read_transcript_stream, stream_dedup_turns
+
+    in_path = str(tmp_path / "dup_in")
+    # write the same snapshot twice: every turn arrives duplicated
+    transcripts.write.mode("overwrite").parquet(in_path)
+    transcripts.write.mode("append").parquet(in_path)
+    deduped = stream_dedup_turns(
+        read_transcript_stream(spark, in_path, max_files_per_trigger=64),
+        watermark="1 hour",
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "dup_out"))
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "dup_out")).toPandas()
+    assert len(out) == len(transcripts_pdf)
+    assert not out.duplicated(subset=["conv_id", "turn_idx"]).any()

@@ -58,6 +58,20 @@ def streaming_tier(
     )
 
 
+def stream_dedup_turns(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exactly-once turn dedup:
+    ``dropDuplicatesWithinWatermark`` on the ``(conv_id, turn_idx)``
+    input-contract key — the streaming twin of the batch ingest's dedup
+    (plans/pipeline._prepare).  State is bounded by the watermark: a
+    duplicate arriving later than the delay is the batch re-fold path's
+    problem, exactly like late turns in ``streaming_tier``."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def run_stream_to_parquet(
     spark, in_path: str, out_path: str, checkpoint: str,
     tier: str = "1m", watermark: str = "10 minutes",
