@@ -321,3 +321,45 @@ def test_salted_layout_splits_hot_conversations(spark):
     assert blk.min() == 1000 and blk.max() == 1499
     # no row loss
     assert len(got) == len(pdf)
+
+
+def test_sessionize_matches_session_window(spark):
+    """The gap-islands sessionize must agree with Spark's native
+    F.session_window on session count and per-session sizes —
+    cross-validates both paths.  Boundary note: on a gap of EXACTLY the
+    threshold, sessionize keeps the session (``>`` test) while
+    session_window starts a new one (half-open [ts, ts+gap)); the test
+    gaps deliberately avoid the exact boundary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsforge_spark.operators.sessions import sessionize
+
+    rng = np.random.default_rng(17)
+    rows = []
+    t = pd.Timestamp("2024-01-01")
+    for u in range(20):
+        cur = t
+        for i in range(200):
+            # mixture of short intra-session gaps and long breaks
+            gap_min = int(rng.choice([1, 5, 20, 45, 120], p=[0.4, 0.3, 0.15, 0.1, 0.05]))
+            cur = cur + pd.Timedelta(minutes=gap_min)
+            rows.append((f"u{u}", cur, i))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    df = spark.createDataFrame(pdf)
+
+    ours = (
+        sessionize(df, "user_id", "ts", "30 minutes", ["ts", "event_id"])
+        .groupBy("user_id", "session_id")
+        .count()
+        .toPandas()
+    )
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .toPandas()
+    )
+    a = ours.groupby("user_id")["count"].apply(lambda s: sorted(s))
+    b = native.groupby("user_id")["count"].apply(lambda s: sorted(s))
+    pd.testing.assert_series_equal(a, b, check_names=False)

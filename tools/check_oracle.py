@@ -63,7 +63,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av):
             an, bn = av.to_numpy(), bv.to_numpy(dtype="float64")
-            same = (an == bn) | (np.isnan(an) & np.isnan(bn))
+            # bitwise like the driver's hash: -0.0 != +0.0
+            same = (
+                (an == bn)
+                & (np.signbit(an) == np.signbit(bn))
+            ) | (np.isnan(an) & np.isnan(bn))
             if not same.all():
                 exact = False
                 with np.errstate(all="ignore"):
