@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from tsforge_spark.codec.blobs import decode_blobs, encode_tier_blobs
 from tsforge_spark.fixtures import make_late_batch, make_transcripts, transcripts_to_spark
@@ -162,3 +163,97 @@ def test_crash_recovery_heals_tiers(spark, tmp_path):
         ful = _tier_norm(full.read_tier(tier).toPandas())
         pd.testing.assert_frame_equal(inc, ful)
     assert pipe.verify_text_equality(transcripts_to_spark(spark, all_pdf)) == 0
+
+
+def test_empty_and_null_only_deltas(spark, tmp_path):
+    """A second snapshot containing only contract-violating rows (null
+    keys / null ts) must yield an 'empty-delta' run that still advances
+    the checkpoint, leaving tiers untouched."""
+    from pyspark.sql import types as T
+
+    from tsforge_spark.fixtures import make_transcripts, transcripts_to_spark
+    from tsforge_spark.schema import TRANSCRIPT_SCHEMA
+
+    base = make_transcripts(n_convs=20, seed=31)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    pipe = RollupPipeline(spark, store, str(tmp_path / "out"), n_buckets=4)
+    assert pipe.run()["status"] == "ok"
+    before = _tier_norm(pipe.read_tier("1h").toPandas())
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in TRANSCRIPT_SCHEMA]
+    )
+    nulls = pd.DataFrame(
+        {
+            "conv_id": [None, "c1", "c2"],
+            "turn_idx": [1, None, 2],
+            "role": ["user"] * 3,
+            "text": ["x"] * 3,
+            "tool": [None] * 3,
+            "ts": [pd.Timestamp("2025-01-02"), pd.Timestamp("2025-01-02"), None],
+        }
+    )
+    store.append(spark.createDataFrame(nulls, schema=nullable))
+    r = pipe.run()
+    # the only non-null-keyed day rows were dropped by dropna → the
+    # prepared delta is empty for every usable row, but days from raw
+    # delta may still trigger a heal; either way the run must succeed
+    # idempotently and the checkpoint must advance
+    assert r["status"] in ("ok", "empty-delta")
+    assert pipe.run()["status"] == "up-to-date"
+    after = _tier_norm(pipe.read_tier("1h").toPandas())
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_late_turn_in_prior_month_heals_blob_segment(spark, tmp_path):
+    """1h/1d blobs chunk by MONTH: a late turn landing in a month before
+    the base span must re-encode that month's blob segment so decoded
+    series == tier content everywhere."""
+    from tsforge_spark.fixtures import make_transcripts, transcripts_to_spark
+    from tsforge_spark.schema import TRANSCRIPT_SCHEMA
+
+    base = make_transcripts(n_convs=15, seed=33, start="2025-02-01", span_days=10)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    pipe = RollupPipeline(spark, store, str(tmp_path / "out"), n_buckets=4)
+    assert pipe.run()["status"] == "ok"
+
+    cid = base["conv_id"].iloc[0]
+    max_idx = int(base[base["conv_id"] == cid]["turn_idx"].max())
+    late = pd.DataFrame(
+        {
+            "conv_id": [cid] * 2,
+            "turn_idx": [max_idx + 1, max_idx + 2],
+            "role": ["user", "assistant"],
+            "text": ["jan catch-up", "jan reply"],
+            "tool": [None, "search"],
+            "ts": [pd.Timestamp("2025-01-15 10:00:00"), pd.Timestamp("2025-01-15 10:05:00")],
+        }
+    )
+    store.append(spark.createDataFrame(late, schema=TRANSCRIPT_SCHEMA))
+    r = pipe.run()
+    assert r["status"] == "ok" and r["turns"] == 2
+
+    for tier in ("1h", "1d"):
+        dec = (
+            pipe.decoded_series(tier)
+            .filter(F.col("measure") == "turns")
+            .toPandas()
+            .sort_values(["conv_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pipe.read_tier(tier)
+            .select("conv_id", "bucket", "turns")
+            .toPandas()
+            .sort_values(["conv_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        assert len(dec) == len(want)
+        assert (dec["value"].to_numpy() == want["turns"].to_numpy()).all()
+    # the January segment exists in the blob store
+    jan = pipe.read_blobs("1h").filter(
+        F.col("segment") == pd.Timestamp("2025-01-01")
+    )
+    assert jan.count() > 0
