@@ -237,27 +237,25 @@ class RollupPipeline:
     def _merge_partitions(
         self, new_df: DataFrame, target: str, partition_cols, stage: str
     ) -> None:
-        """Materialize to staging, then dynamic-overwrite only the
-        partitions present in ``new_df`` (Iceberg: MERGE INTO).  On the
-        first run (no target yet) there is nothing being replaced-while-
-        read, so write directly and skip the staging double-write."""
+        """Dynamic-overwrite only the partitions present in ``new_df``
+        (Iceberg: MERGE INTO).  A direct write is safe because no tier or
+        blob merge reads its own target (tiers derive from the turns
+        store / the finer tier; blobs derive from tier stores) — the only
+        self-referential write in the pipeline is the ingest anti-join,
+        which keeps its explicit staging materialization in ``run``.
+
+        Crash semantics: new files land under the job's temporary dir and
+        partition replacement happens at job commit, so a crash mid-write
+        leaves old partitions readable; a crash mid-commit can leave a
+        subset replaced — both are healed by the replay contract (the
+        checkpoint only advances after all stages commit, and every stage
+        is a full recompute of the affected day partitions)."""
         if isinstance(partition_cols, str):
             partition_cols = [partition_cols]
-        if not os.path.exists(target):
-            new_df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
-                target
-            )
-            return
-        staging = self._stage_dir(stage)
-        shutil.rmtree(staging, ignore_errors=True)
-        new_df.write.mode("overwrite").parquet(staging)
-        (
-            self.spark.read.parquet(staging)
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(target)
+        new_df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            target
         )
-        shutil.rmtree(staging, ignore_errors=True)
+        _ = stage  # kept for call-site symmetry / future Iceberg MERGE
 
     # ---- main entry ----
     def run(self) -> dict:
