@@ -91,6 +91,56 @@ def run_pipeline(cores: int, store_dir: str, work_root: str) -> dict:
         spark.stop()
 
 
+def run_incremental(cores: int, store_dir: str, work_root: str, n_convs: int) -> dict:
+    """Incremental phase: append a ~2% delta snapshot (new conversation
+    ids beyond the base range, same day span) and re-run the SAME
+    pipeline output — measures the day-pruned anti-join + affected-day
+    recompute + month blob re-encode path, not a fresh build."""
+    from tsforge_spark.fixtures import gen_transcript_batch
+    from tsforge_spark.plans.pipeline import RollupPipeline
+    from tsforge_spark.schema import TRANSCRIPT_SCHEMA
+    from tsforge_spark.session import get_spark
+    from tsforge_spark.sources.snapshots import SnapshotStore
+
+    spark = get_spark(
+        f"tsforge-bench-inc-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 16),
+    )
+    try:
+        n_delta = max(n_convs // 50, 10)
+
+        def gen(batches):
+            # the daily-batch shape: the delta lands inside ONE day of the
+            # 14-day base span, so partition surgery touches ~2/14 of the
+            # day partitions (the day + spill-over) instead of all of them
+            for pdf in batches:
+                yield gen_transcript_batch(
+                    pdf["id"].to_numpy(), seed=42, mean_turns=60,
+                    start="2025-01-13", span_days=1,
+                )
+
+        delta = (
+            spark.range(n_convs, n_convs + n_delta, numPartitions=max(cores, 4))
+            .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+        )
+        store = SnapshotStore(store_dir)
+        store.append(delta)
+        pipe = RollupPipeline(
+            spark, store, os.path.join(work_root, f"out_{cores}"),
+            n_buckets=max(cores * 2, 16),
+        )
+        res = pipe.run()
+        return {
+            "turns": res["turns"],
+            "wall_sec": round(res["wall_sec"], 2),
+            "turns_per_sec": round(res["turns_per_sec"], 1),
+            "affected_days": res["affected_days"],
+            "stage_sec": res.get("stage_sec", {}),
+        }
+    finally:
+        spark.stop()
+
+
 def run_compute_probe(cores: int, store_dir: str) -> float:
     """Compute-stage throughput (rollup → fold → Gorilla encode, no
     sinks): isolates the engine's parallel fraction from the sandbox's
@@ -194,6 +244,9 @@ def main() -> None:
             main_run = r_big
         else:
             main_run = run_pipeline(CPUS, store_dir, work_root)
+            extras["incremental"] = run_incremental(
+                CPUS, store_dir, work_root, n_convs
+            )
 
         queries = {} if skip_queries else run_queries(SF_DIR)
 

@@ -76,6 +76,8 @@ class RollupPipeline:
         self.dedup_against_history = dedup_against_history
         self.hot_threshold = hot_threshold
         self.hot_block_size = hot_block_size
+        # set by _prepare's key probes; consumed by run() for lineage
+        self._probe_info: dict = {"has_dups": False, "buckets": []}
         os.makedirs(out_dir, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
