@@ -363,3 +363,29 @@ def test_sessionize_matches_session_window(spark):
     a = ours.groupby("user_id")["count"].apply(lambda s: sorted(s))
     b = native.groupby("user_id")["count"].apply(lambda s: sorted(s))
     pd.testing.assert_series_equal(a, b, check_names=False)
+
+
+def test_detect_covariates_and_check_panel(spark, panel, panel_pdf):
+    """Static/dynamic covariate auto-detection (check_model_readiness
+    semantics: nunique(dropna=False) <= 1 per id) and the panel
+    readiness triage report (check_panel)."""
+    import pandas as pd
+
+    from tsforge_spark.operators.diagnostics import check_panel, detect_covariates
+
+    static, dynamic = detect_covariates(panel, "unique_id", exclude=["ds", "y"])
+    assert "category" in static  # one value per id by construction
+    assert "promo" in dynamic    # varies within a series
+
+    # clean panel: gaps exist by construction (gap_frac=0.10), no dups
+    rep = check_panel(panel, "unique_id", "ds", freq="1d")
+    assert rep["duplicate_rows"] == 0
+    assert rep["continuity_gaps"] > 0
+    assert rep["n_series"] == panel_pdf["unique_id"].nunique()
+    assert rep["n_obs"] == len(panel_pdf)
+
+    # plant a duplicate key and re-check
+    dup = spark.createDataFrame(panel_pdf.iloc[[0]]).unionByName(panel)
+    rep2 = check_panel(dup, "unique_id", "ds", freq="1d")
+    assert rep2["duplicate_rows"] == 1
+    assert any("duplicate" in w for w in rep2["warnings"])

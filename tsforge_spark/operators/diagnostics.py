@@ -41,6 +41,78 @@ def series_diagnostics(
     return out
 
 
+def detect_covariates(
+    df: DataFrame, id_col: str, exclude: list[str] | None = None
+) -> tuple[list[str], list[str]]:
+    """Static vs dynamic covariate auto-detection
+    (``eda/check_model_readiness.py:97-105``): a column is static when
+    every id has ≤1 distinct value (nulls count as a value, matching the
+    reference's ``nunique(dropna=False)``).  ONE aggregation pass for
+    all candidate columns — per-id distinct counts, then a global max."""
+    exclude = set(exclude or [])
+    cands = [c for c in df.columns if c != id_col and c not in exclude]
+    if not cands:
+        return [], []
+    per_id = df.groupBy(id_col).agg(
+        *[
+            F.count_distinct(F.coalesce(F.col(c).cast("string"), F.lit("\0null")))
+            .alias(c)
+            for c in cands
+        ]
+    )
+    row = per_id.agg(*[F.max(c).alias(c) for c in cands]).collect()[0]
+    static = [c for c in cands if (row[c] or 0) <= 1]
+    dynamic = [c for c in cands if c not in static]
+    return static, dynamic
+
+
+def check_panel(
+    df: DataFrame, id_col: str, ts_col: str, freq: str = "1d"
+) -> dict:
+    """Panel readiness triage (``eda/check_panel.py:3-56``): duplicate
+    (id, ts) rows, continuity gaps vs each series' own dense grid,
+    series/row counts, and the same warning strings — two aggregation
+    jobs total."""
+    from tsforge_spark.operators.gapfill import complete_grid
+
+    dups = int(
+        duplicate_keys(df, [id_col, ts_col])
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)))
+        .collect()[0][0]
+    )
+    grid = complete_grid(df.select(id_col, ts_col), id_col, ts_col, freq)
+    stats = (
+        grid.join(df.select(id_col, ts_col).distinct(), [id_col, ts_col], "left_anti")
+        .agg(F.count(F.lit(1)).alias("gaps"))
+        .collect()[0]
+    )
+    meta = df.agg(
+        F.count_distinct(id_col).alias("n_series"),
+        F.count(F.lit(1)).alias("n_obs"),
+    ).collect()[0]
+    report = {
+        "duplicate_rows": dups,
+        "continuity_gaps": int(stats["gaps"]),
+        "n_series": int(meta["n_series"]),
+        "n_obs": int(meta["n_obs"]),
+        "date_dtype": df.schema[ts_col].dataType.simpleString(),
+        "warnings": [],
+    }
+    if report["duplicate_rows"]:
+        report["warnings"].append(
+            f"found {report['duplicate_rows']} duplicate id+date rows"
+        )
+    if report["continuity_gaps"]:
+        report["warnings"].append(
+            f"found {report['continuity_gaps']} missing dates across series"
+        )
+    if not report["date_dtype"].startswith("timestamp") and report[
+        "date_dtype"
+    ] != "date":
+        report["warnings"].append("date column is not a time type")
+    return report
+
+
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """Duplicate (id, ts) detection (``check_panel.py:30-31``)."""
     return (
