@@ -256,3 +256,61 @@ def test_kmeans_sampled_fit(spark):
     # centroids should point along the two axes
     axes = sorted(int(np.argmax(np.abs(c))) for _, c in cents)
     assert axes == [0, 1]
+
+
+def test_decompose_invariants_property(spark):
+    """Property-based: for random integer series and periods, classical
+    decomposition must satisfy (a) additive identity on interior rows,
+    (b) centered seasonal (distinct phase effects sum ~ 0), (c) null
+    trend/resid exactly on the half-window edges, (d) row preservation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        values=st.lists(st.integers(0, 10_000), min_size=40, max_size=150),
+        period=st.sampled_from([4, 6, 12]),
+    )
+    def check(values, period):
+        n = len(values)
+        t0 = pd.Timestamp("2024-01-01")
+        pdf = pd.DataFrame(
+            {
+                "uid": "s",
+                "bucket": t0 + pd.to_timedelta(np.arange(n), "min"),
+                "c": np.asarray(values, dtype=np.int64),
+            }
+        )
+        phase = (
+            (F.unix_micros(F.col("bucket")) / F.lit(60_000_000)).cast("long")
+            % period
+        )
+        out = (
+            classical_decompose(
+                spark.createDataFrame(pdf), "uid", "bucket", "c",
+                period=period, phase_expr=phase,
+            )
+            .toPandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        assert len(out) == n
+        half = period // 2
+        # edges: exactly the first/last `half` rows lack trend
+        assert out["trend"].head(half).isna().all()
+        assert out["trend"].tail(half).isna().all()
+        interior = out["trend"].notna()
+        assert interior.sum() == max(n - 2 * half, 0)
+        recon = out.loc[interior, ["trend", "seasonal", "resid"]].sum(axis=1)
+        np.testing.assert_allclose(
+            recon, out.loc[interior, "value"], rtol=1e-9, atol=1e-9
+        )
+        seas = out.loc[out["seasonal"].notna()]
+        if len(seas):
+            per_phase = seas.groupby(
+                seas["bucket"].astype("int64") // 60_000_000_000 % period
+            )["seasonal"].first()
+            assert abs(per_phase.mean()) < 1e-9
+
+    check()

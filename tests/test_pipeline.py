@@ -257,3 +257,31 @@ def test_late_turn_in_prior_month_heals_blob_segment(spark, tmp_path):
         F.col("segment") == pd.Timestamp("2025-01-01")
     )
     assert jan.count() > 0
+
+
+def test_backfill_day_join_path_matches_literals(spark, tmp_path):
+    """The broadcast semi-join day filter (the >200-affected-days
+    backfill path) must produce the same tiers as the literal-isin path
+    — forced via day_literal_limit=0."""
+    from tsforge_spark.fixtures import make_transcripts, make_late_batch, transcripts_to_spark
+
+    base = make_transcripts(n_convs=25, seed=51)
+    late = make_late_batch(base, seed=52)
+
+    outs = {}
+    for name, limit in (("literal", 200), ("join", 0)):
+        store = SnapshotStore(str(tmp_path / f"store_{name}"))
+        store.append(transcripts_to_spark(spark, base))
+        pipe = RollupPipeline(
+            spark, store, str(tmp_path / f"out_{name}"), n_buckets=4,
+            day_literal_limit=limit,
+        )
+        assert pipe.run()["status"] == "ok"
+        store.append(transcripts_to_spark(spark, late))
+        assert pipe.run()["status"] == "ok"
+        outs[name] = {
+            tier: _tier_norm(pipe.read_tier(tier).toPandas())
+            for tier in ("1m", "1h", "1d")
+        }
+    for tier in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(outs["literal"][tier], outs["join"][tier])

@@ -67,6 +67,7 @@ class RollupPipeline:
         dedup_against_history: bool = True,
         hot_threshold: int = 100_000,
         hot_block_size: int = 50_000,
+        day_literal_limit: int = 200,
     ):
         self.spark = spark
         self.store = store
@@ -76,6 +77,7 @@ class RollupPipeline:
         self.dedup_against_history = dedup_against_history
         self.hot_threshold = hot_threshold
         self.hot_block_size = hot_block_size
+        self.day_literal_limit = day_literal_limit
         # set by _prepare's key probes; consumed by run() for lineage
         self._probe_info: dict = {"has_dups": False, "buckets": []}
         os.makedirs(out_dir, exist_ok=True)
@@ -128,7 +130,7 @@ class RollupPipeline:
         planning time); a months-long backfill would put thousands of
         literals in the plan, so large lists become a broadcast semi-join
         against a days dim (dynamic partition pruning)."""
-        if len(days) <= 200:
+        if len(days) <= self.day_literal_limit:
             return lambda df: df.filter(F.col(col_name).isin(days))
         dim = F.broadcast(
             self.spark.createDataFrame([(d,) for d in days], "_aff_day date")
