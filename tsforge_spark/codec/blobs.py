@@ -117,6 +117,53 @@ def encode_tier_blobs(
     )
 
 
+def read_series(
+    spark,
+    blobs_path: str,
+    tier: str,
+    t0,
+    t1,
+    conv_ids: list[str] | None = None,
+    measures: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Serving read path over the blob store: fetch decoded series for a
+    time range (and optionally a conversation set) touching only the
+    relevant partitions.
+
+    Pruning order, mirroring the store layout
+    ``blobs/tier_part=<t>/seg_day=<d>/``:
+    1. ``tier_part`` + ``seg_day`` partition filters (directory-level —
+       a day query on the 1m tier reads one directory);
+    2. blob-row filters on ``conv_id`` / ``measure`` / ``segment``
+       (parquet row-group stats prune before payload bytes are read);
+    3. decode only the surviving blobs, then the exact ``bucket`` range
+       filter on the decoded points (a blob spans a whole segment, so
+       edge segments decode fully — bounded by one segment per side).
+    """
+    import datetime as _dt
+
+    t0 = pd.Timestamp(t0).to_pydatetime()
+    t1 = pd.Timestamp(t1).to_pydatetime()
+    unit = SEGMENT_TRUNC[tier]
+
+    def trunc(d: _dt.datetime) -> _dt.date:
+        return d.date().replace(day=1) if unit == "month" else d.date()
+
+    df = spark.read.parquet(blobs_path).filter(
+        (F.col("tier_part") == tier)
+        & (F.col("seg_day") >= trunc(t0))
+        & (F.col("seg_day") <= trunc(t1))
+    )
+    if conv_ids is not None:
+        df = df.filter(F.col("conv_id").isin(list(conv_ids)))
+    if measures is not None:
+        df = df.filter(F.col("measure").isin(list(measures)))
+    decoded = decode_blobs(df)
+    return decoded.filter(
+        (F.col("bucket") >= F.lit(t0)) & (F.col("bucket") <= F.lit(t1))
+    )
+
+
 def decode_blobs(blob_df: DataFrame) -> DataFrame:
     """Blob table → long decoded series (for verification / serving)."""
 
