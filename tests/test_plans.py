@@ -149,3 +149,21 @@ def test_tier_fold_prunes_day_partitions(spark, tmp_path):
     assert n_parts == 2
     plan = plan_of(pruned)
     assert "PartitionFilters" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Sweep EVERY catalog query's physical plan: a CartesianProduct is
+    the shape that cannot scale, so none may appear.  (Broadcast
+    nested-loop joins are allowed only for deliberate 1-row/16-row
+    broadcast cross joins.)"""
+    import __spark_entry__ as entry_mod
+
+    bnlj_ok = {"target_mean_encoding"}  # 1-row global-stats broadcast
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        plan = plan_of(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders

