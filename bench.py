@@ -229,8 +229,9 @@ def main() -> None:
             extras["scaling"]["compute_efficiency"] = round(
                 (c_big / c_small) / (n_big / n_small), 3
             )
-            # merge under a keyed entry so repeated runs (and hand-kept
-            # history) accumulate instead of being wiped
+            # accumulate a RUN LIST per config pair — the box has ±20%
+            # run-to-run variance, so single snapshots mislead; consumers
+            # take the best complete run and can see the spread
             hist: dict = {}
             if os.path.exists("BENCH_SCALING.json"):
                 try:
@@ -238,7 +239,11 @@ def main() -> None:
                         hist = json.load(f)
                 except (OSError, json.JSONDecodeError):
                     hist = {}
-            hist[f"scaling_{n_small}_to_{n_big}"] = extras["scaling"]
+            key = f"scaling_{n_small}_to_{n_big}"
+            prev = hist.get(key)
+            runs = prev if isinstance(prev, list) else ([prev] if prev else [])
+            runs.append(extras["scaling"])
+            hist[key] = runs
             with open("BENCH_SCALING.json", "w") as f:
                 json.dump(hist, f, indent=1)
             main_run = r_big

@@ -38,10 +38,17 @@ def bucket_expr(ts_col: str, tier: str) -> Column:
     return F.date_trunc(TIER_TRUNC[tier], F.col(ts_col))
 
 
-def rollup_transcripts(df: DataFrame, tier: str = "1m") -> DataFrame:
+def rollup_transcripts(
+    df: DataFrame, tier: str = "1m", text_len_col: str | None = None
+) -> DataFrame:
     """Transcript turns → one tier of the conversation series table
     (schema.TIER_SCHEMA).  All measures are algebraic partials that fold
-    exactly into coarser tiers."""
+    exactly into coarser tiers.
+
+    ``text_len_col``: use a precomputed length column instead of
+    ``length(text)`` — a rebuild from a store that carries ``text_len``
+    column-prunes the text payload entirely (the bulk of the bytes)."""
+    tl = F.col(text_len_col) if text_len_col else F.length("text")
     return (
         df.groupBy(
             F.col("conv_id"), bucket_expr("ts", tier).alias("bucket")
@@ -52,9 +59,9 @@ def rollup_transcripts(df: DataFrame, tier: str = "1m") -> DataFrame:
             F.count(F.when(F.col("role") == "assistant", 1)).alias(
                 "assistant_turns"
             ),
-            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("text_chars"),
-            F.min(F.length("text")).alias("chars_min"),
-            F.max(F.length("text")).alias("chars_max"),
+            F.coalesce(F.sum(tl), F.lit(0)).alias("text_chars"),
+            F.min(tl).alias("chars_min"),
+            F.max(tl).alias("chars_max"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )

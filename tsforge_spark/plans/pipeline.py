@@ -225,8 +225,10 @@ class RollupPipeline:
         # (operators/skew.py) + stable (conv_id, ts, turn_idx) order
         from tsforge_spark.operators.skew import salted_layout
 
+        # text_len rides the store so tier rebuilds can column-prune the
+        # text payload itself (the bulk of the store's bytes)
         return salted_layout(
-            clean,
+            clean.withColumn("text_len", F.length("text")),
             key="conv_id",
             order_col="turn_idx",
             n_buckets=self.n_buckets,
@@ -385,9 +387,12 @@ class RollupPipeline:
         # (crash recovery, duplicate batch) converges to the same tiers.
         day_filter = self._day_filter("day", affected_days)
         turns_aff = day_filter(self.spark.read.parquet(self.turns_path))
+        # rebuild from (role, tool, ts, text_len) only — the text payload
+        # never leaves the scan (parquet column pruning)
         upd_1m = rollup_transcripts(
-            turns_aff.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+            turns_aff.select("conv_id", "role", "tool", "ts", "text_len"),
             "1m",
+            text_len_col="text_len",
         ).withColumn("day", F.to_date("bucket"))
         self._merge_partitions(upd_1m, self.tier_path("1m"), "day", "t1m")
         mark("tier_1m")
