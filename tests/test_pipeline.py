@@ -331,3 +331,54 @@ def test_read_series_serving_path(spark, tmp_path):
         (F.col("tier_part") == "1h") & (F.col("seg_day") >= t0.date())
     )
     assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or True
+
+
+def test_retention_enforcement(spark, tmp_path):
+    """Retention policy drops only fully-expired day partitions (and
+    only fully-expired blob segments), leaves newer data bit-identical,
+    and keeps tiers with policy None untouched."""
+    from tsforge_spark.fixtures import make_transcripts, transcripts_to_spark
+
+    base = make_transcripts(n_convs=20, seed=71, span_days=14)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    pipe = RollupPipeline(spark, store, str(tmp_path / "out"), n_buckets=4)
+    assert pipe.run()["status"] == "ok"
+
+    newest = pipe.read_tier("1m").agg(F.max(F.to_date("bucket"))).collect()[0][0]
+    keep_1m = (
+        pipe.read_tier("1m")
+        .filter(F.to_date("bucket") >= F.lit(newest - pd.Timedelta(days=7).to_pytimedelta()))
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    before_1d = _tier_norm(pipe.read_tier("1d").toPandas())
+
+    dry = pipe.enforce_retention({"1m": 7, "1h": 7, "1d": None}, dry_run=True)
+    assert dry["deleted"]["1m"]  # something would expire
+    # dry run deleted nothing
+    assert len(_tier_norm(pipe.read_tier("1d").toPandas())) == len(before_1d)
+
+    res = pipe.enforce_retention({"1m": 7, "1h": 7, "1d": None})
+    assert res["status"] == "ok" and res["deleted"]["1m"]
+
+    after_1m = (
+        pipe.read_tier("1m").toPandas().sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    )
+    # all remaining rows are within the window, and the retained window
+    # is bit-identical to what was there before
+    assert (pd.to_datetime(after_1m["bucket"]).dt.date >= newest - pd.Timedelta(days=7).to_pytimedelta()).all()
+    pd.testing.assert_frame_equal(after_1m[keep_1m.columns], keep_1m)
+    # 1d untouched by the None policy
+    pd.testing.assert_frame_equal(_tier_norm(pipe.read_tier("1d").toPandas()), before_1d)
+    # expired 1m blob segments gone; decoded blobs still equal the tier
+    dec = (
+        pipe.decoded_series("1m")
+        .filter(F.col("measure") == "turns")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(dec) == len(after_1m)
+    assert (dec["value"].to_numpy() == after_1m["turns"].to_numpy()).all()

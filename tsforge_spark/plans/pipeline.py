@@ -478,6 +478,90 @@ class RollupPipeline:
         metrics.log("done", **{k: v for k, v in result.items() if k != "status"})
         return result
 
+    # ---- retention ----
+    def enforce_retention(
+        self, policy: dict, now=None, dry_run: bool = False
+    ) -> dict:
+        """Retention enforcement — the third leg of the north rule
+        (rollup + downsample + **retention**).  ``policy`` maps tier →
+        max age in days (None = keep forever), e.g.
+        ``{"1m": 30, "1h": 180, "1d": None}``.
+
+        Tier stores are day-partitioned, so expiry is a directory-level
+        delete (the plain-parquet stand-in for Iceberg ``DELETE WHERE
+        day < cutoff`` + snapshot expiry — a metadata-only operation, no
+        data scan).  Blob segments expire only when the WHOLE segment is
+        older than the cutoff (a month chunk holding any retained day
+        survives).  ``now`` defaults to the newest day across tiers
+        (data-relative, deterministic); returns per-tier deleted
+        partition lists and logs a retention metric."""
+        import datetime as _dt
+
+        from tsforge_spark.codec.blobs import SEGMENT_TRUNC
+
+        def _day_dirs(root: str, prefix: str = "day="):
+            out = []
+            if not os.path.isdir(root):
+                return out
+            for sub in os.listdir(root):
+                if sub.startswith(prefix):
+                    try:
+                        out.append(
+                            (_dt.date.fromisoformat(sub[len(prefix):]), sub)
+                        )
+                    except ValueError:
+                        continue
+            return out
+
+        if now is None:
+            newest = None
+            for tier in TIERS:
+                for d, _ in _day_dirs(self.tier_path(tier)):
+                    newest = d if newest is None or d > newest else newest
+            if newest is None:
+                return {"status": "empty"}
+            now = newest
+        elif hasattr(now, "date"):
+            now = now.date()
+
+        deleted: dict = {}
+        for tier, max_age in policy.items():
+            if max_age is None:
+                continue
+            cutoff = now - _dt.timedelta(days=int(max_age))
+            gone = []
+            for d, sub in _day_dirs(self.tier_path(tier)):
+                if d < cutoff:
+                    gone.append(str(d))
+                    if not dry_run:
+                        shutil.rmtree(
+                            os.path.join(self.tier_path(tier), sub)
+                        )
+            # blob segments: drop only fully-expired chunks
+            seg_unit = SEGMENT_TRUNC[tier]
+            tier_dir = os.path.join(self.blobs_path, f"tier_part={tier}")
+            for d, sub in _day_dirs(tier_dir, prefix="seg_day="):
+                if seg_unit == "month":
+                    nxt = (d.replace(day=1) + _dt.timedelta(days=32)).replace(
+                        day=1
+                    )
+                    seg_end = nxt - _dt.timedelta(days=1)
+                else:
+                    seg_end = d
+                if seg_end < cutoff:
+                    gone.append(f"blob:{d}")
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(tier_dir, sub))
+            deleted[tier] = gone
+        metrics = MetricsLog(os.path.join(self.out, "metrics.jsonl"), new_job_id())
+        metrics.log(
+            "retention",
+            now=str(now),
+            dry_run=dry_run,
+            deleted={k: len(v) for k, v in deleted.items()},
+        )
+        return {"status": "ok", "now": str(now), "deleted": deleted}
+
     # ---- verification surfaces ----
     def read_tier(self, tier: str) -> DataFrame:
         return self.spark.read.parquet(self.tier_path(tier)).drop("day")
