@@ -389,3 +389,38 @@ def test_detect_covariates_and_check_panel(spark, panel, panel_pdf):
     rep2 = check_panel(dup, "unique_id", "ds", freq="1d")
     assert rep2["duplicate_rows"] == 1
     assert any("duplicate" in w for w in rep2["warnings"])
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    """Min-label propagation: chains collapse to one cluster labeled by
+    the component's min id; disjoint components stay apart."""
+    from tsforge_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()
+    }
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert {got[i] for i in (10, 11)} == {10}
+    # a 5-long chain (diameter > 2) still converges to the min label
+    assert {got[i] for i in (20, 21, 22, 23, 24)} == {20}
+
+
+def test_neardup_clusters_on_lsh_pairs(spark):
+    """End-to-end: LSH candidate pairs over the documents fixture →
+    clusters; every pair must land in one cluster, and cluster ids are
+    member minima."""
+    from tsforge_spark.catalog_docs import q_minhash_lsh_jaccard
+    from tsforge_spark.operators.dedup import neardup_clusters
+
+    pairs = q_minhash_lsh_jaccard(spark, "/root/testdata/sf0.001")
+    labs = neardup_clusters(pairs).toPandas().set_index("id")["cluster_id"]
+    p = pairs.toPandas()
+    assert len(p) > 0
+    assert (p["id_a"].map(labs) == p["id_b"].map(labs)).all()
+    import pandas as pd
+    members = pd.Series(labs.index, index=labs.values).groupby(level=0).min()
+    assert (members.index == members.values).all()

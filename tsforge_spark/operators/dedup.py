@@ -211,6 +211,57 @@ def simhash16(text: Column) -> Column:
     return sim
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive closure over near-dup pairs → one cluster label per doc
+    (label = min doc id in the connected component).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — converges in
+    O(component diameter) rounds, and near-dup components are shallow
+    (pairs come from shared LSH bands, so diameters are small).  Each
+    round is one join + one aggregate; lineage is truncated with
+    ``localCheckpoint`` so long chains don't blow up the plan.  This is
+    the standard big-graph CC shape (no GraphFrames dependency); output
+    feeds canonical-doc selection (keep min id per cluster)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "id")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, label_col: str, threshold: float = 0.95
 ) -> DataFrame:
