@@ -314,3 +314,67 @@ def test_decompose_invariants_property(spark):
             assert abs(per_phase.mean()) < 1e-9
 
     check()
+
+
+def test_asof_tolerance(spark):
+    """As-of join tolerance: matches older than the lookback become
+    NULL (pd.merge_asof tolerance semantics), same shuffle count."""
+    from tsforge_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "a"],
+             "t": [pd.Timestamp("2024-01-01 10:00"), pd.Timestamp("2024-01-01 13:00")]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"], "t": [pd.Timestamp("2024-01-01 09:30")], "v": [1.0]}
+        )
+    )
+    out = (
+        asof_join(left, right, "k", "t", ["v"], tolerance="2 hours")
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    assert out["v_asof"].iloc[0] == 1.0          # 30 min back: in window
+    assert pd.isna(out["v_asof"].iloc[1])        # 3.5 h back: too old
+    # without tolerance both match
+    out2 = asof_join(left, right, "k", "t", ["v"]).toPandas()
+    assert out2["v_asof"].notna().all()
+
+
+def test_outliers_on_deseasonalized_series(spark):
+    """A spike that hides inside raw seasonal variance is flagged once
+    the cycle is removed (reference _detect_outliers_df composition)."""
+    from tsforge_spark.operators.outliers import (
+        flag_outliers,
+        flag_outliers_deseasonalized,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 24 * 20
+    t0 = pd.Timestamp("2024-01-01")
+    hod = np.arange(n) % 24
+    c = (5000 + 3000 * np.sin(2 * np.pi * hod / 24) + rng.normal(0, 30, n)).round()
+    spike_at = 24 * 10 + 6
+    c[spike_at] += 1200  # ~0.4 sigma of the RAW series, 40 sigma deseasonalized
+    pdf = pd.DataFrame(
+        {"uid": "s", "bucket": t0 + pd.to_timedelta(np.arange(n), "h"),
+         "c": c.astype(np.int64)}
+    )
+    df = spark.createDataFrame(pdf)
+    raw = flag_outliers(
+        df.withColumn("y", F.col("c").cast("double")), "y", "uid", "zscore", 3.0
+    ).toPandas().sort_values("bucket").reset_index(drop=True)
+    assert raw["is_outlier"].iloc[spike_at] == 0  # invisible in raw space
+    des = (
+        flag_outliers_deseasonalized(df, "uid", "bucket", "c", "zscore", 3.0)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert bool(des["deseason_ok"].iloc[0])
+    assert des["is_outlier"].iloc[spike_at] == 1  # visible deseasonalized
+    assert des["is_outlier"].sum() <= 5           # and not noisy

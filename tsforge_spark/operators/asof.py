@@ -28,9 +28,16 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Union + locf as-of join; returns all left columns plus
-    ``{value}{suffix}`` for each right value column."""
+    ``{value}{suffix}`` for each right value column.
+
+    ``tolerance``: optional max lookback (an interval literal, e.g.
+    ``"2 hours"``) — a match older than ``left.ts − tolerance`` becomes
+    NULL, mirroring ``pd.merge_asof(tolerance=...)``.  Implemented by
+    also carrying the matched right timestamp through the same locf
+    window, so it costs no extra shuffle."""
     lcols = left.columns
     l_tagged = left.withColumn("_side", F.lit(1))
     for v in value_cols:
@@ -44,6 +51,10 @@ def asof_join(
         if c not in (key, ts_col):
             r_tagged = r_tagged.withColumn(c, F.lit(None))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    if tolerance is not None:
+        unioned = unioned.withColumn(
+            "_rts", F.when(F.col("_side") == 0, F.col(ts_col))
+        )
     # right rows sort before left rows at equal ts → ties take the right row
     w = (
         Window.partitionBy(key)
@@ -55,6 +66,15 @@ def asof_join(
         filled = filled.withColumn(
             v + suffix, F.last(v + suffix, ignorenulls=True).over(w)
         )
+    if tolerance is not None:
+        matched_ts = F.last("_rts", ignorenulls=True).over(w)
+        in_window = matched_ts >= F.col(ts_col) - F.expr(
+            f"interval {tolerance}"
+        )
+        for v in value_cols:
+            filled = filled.withColumn(
+                v + suffix, F.when(in_window, F.col(v + suffix))
+            )
     return filled.filter(F.col("_side") == 1).select(
         *lcols, *[v + suffix for v in value_cols]
     )

@@ -42,6 +42,30 @@ def flag_outliers(
     return df.withColumn(flag_col, F.coalesce(flag.cast("int"), F.lit(0)))
 
 
+def flag_outliers_deseasonalized(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    cents_col: str,
+    method: str = "zscore",
+    threshold: float = 3.0,
+    period: int = 24,
+) -> DataFrame:
+    """Outlier flags on the DESEASONALIZED series — the reference's
+    ``_detect_outliers_df(deseasonalize=True)`` composition
+    (``nixtla_demo.py:434-459``): subtract the seasonal component for
+    series that pass the guards (length/ADI/CV), then flag on the
+    residual-ish series; gated-out series flag on the raw values.  A
+    seasonal spike that hides inside the raw variance becomes visible
+    once the cycle is removed.  Returns the guard columns + flags."""
+    from tsforge_spark.operators.decompose import deseasonalize_guard
+
+    d = deseasonalize_guard(df, id_col, ts_col, cents_col, period)
+    return flag_outliers(
+        d, "deseasonalized", id_col, method, threshold
+    )
+
+
 def correct_outliers(
     df: DataFrame,
     y_col: str,
