@@ -137,142 +137,6 @@ _TSFEAT_SCHEMA = T.StructType(
 )
 
 
-def _perm_entropy3(y: np.ndarray) -> float:
-    """Ordinal-pattern (m=3) entropy in bits, argsort tiebreak —
-    the numpy twin of antropy.perm_entropy(order=3)."""
-    if len(y) < 3:
-        return np.nan
-    win = np.lib.stride_tricks.sliding_window_view(y, 3)
-    pats = np.argsort(win, axis=1, kind="stable")
-    codes = pats[:, 0] * 9 + pats[:, 1] * 3 + pats[:, 2]
-    _, cnt = np.unique(codes, return_counts=True)
-    p = cnt / cnt.sum()
-    return float(-(p * np.log2(p)).sum())
-
-
-def _score_mase(y: np.ndarray, season: int) -> float:
-    """mean |y_t − y_{t−season}| (reference score_mase,
-    ts_features_extension.py:160-163)."""
-    if len(y) <= season:
-        return np.nan
-    return float(np.mean(np.abs(y[:-season] - y[season:])))
-
-
-def _seasonal_strength(mae_seasonal: float, mae_naive: float) -> float:
-    """clip(1 − mae_m/mae_1, 0, 1); nan on zero/non-finite naive MAE
-    (reference _seasonal_strength, ts_features_extension.py:166-170)."""
-    if not np.isfinite(mae_naive) or mae_naive == 0 or not np.isfinite(mae_seasonal):
-        return np.nan
-    return float(np.clip(1.0 - mae_seasonal / mae_naive, 0.0, 1.0))
-
-
-def _spectral_entropy(y: np.ndarray) -> float:
-    """Normalized Shannon entropy of the periodogram (numpy twin of
-    antropy.spectral_entropy(method='fft', normalize=True),
-    reference hyndman-style forecastability inputs)."""
-    if len(y) < 8 or np.allclose(y, y[0]):
-        return np.nan
-    ps = np.abs(np.fft.rfft(y - y.mean())) ** 2
-    ps = ps[1:]  # drop DC (zero after de-meaning)
-    tot = ps.sum()
-    if tot <= 0:
-        return np.nan
-    p = ps / tot
-    p = p[p > 0]
-    return float(-(p * np.log2(p)).sum() / np.log2(len(ps)))
-
-
-def _dfa(y: np.ndarray) -> float:
-    """Detrended fluctuation analysis exponent: slope of
-    log F(w) vs log w with order-1 detrending over log-spaced window
-    sizes (numpy stand-in for nolds.dfa — reference hurst_exp_dfa,
-    ts_features_extension.py:36-37)."""
-    n = len(y)
-    if n < 32:
-        return np.nan
-    profile = np.cumsum(y - y.mean())
-    sizes = np.unique(
-        np.floor(np.exp(np.linspace(np.log(4), np.log(n // 4), 12))).astype(int)
-    )
-    flucts = []
-    for w in sizes:
-        m = n // w
-        seg = profile[: m * w].reshape(m, w)
-        t = np.arange(w, dtype=np.float64)
-        tm = t - t.mean()
-        denom = (tm * tm).sum()
-        slope = (seg * tm).sum(axis=1) / denom
-        inter = seg.mean(axis=1)
-        resid = seg - (inter[:, None] + slope[:, None] * tm)
-        flucts.append(np.sqrt((resid**2).mean()))
-    logs = np.log(sizes)
-    logf = np.log(np.asarray(flucts))
-    good = np.isfinite(logf)
-    if good.sum() < 4:
-        return np.nan
-    return float(np.polyfit(logs[good], logf[good], 1)[0])
-
-
-def _hist_mi(x: np.ndarray, ylag: np.ndarray, bins: int = 8) -> float:
-    """Histogram mutual information (quantile bins) — a deterministic
-    numpy stand-in for sklearn mutual_info_regression (unavailable in
-    this environment; reference MI_top_k_lags,
-    ts_features_extension.py:75-96)."""
-    qs = np.linspace(0, 1, bins + 1)[1:-1]
-    bx = np.searchsorted(np.quantile(x, qs), x)
-    by = np.searchsorted(np.quantile(ylag, qs), ylag)
-    joint = np.zeros((bins, bins))
-    np.add.at(joint, (bx, by), 1.0)
-    joint /= joint.sum()
-    px = joint.sum(axis=1, keepdims=True)
-    py = joint.sum(axis=0, keepdims=True)
-    nz = joint > 0
-    return float((joint[nz] * np.log(joint[nz] / (px @ py)[nz])).sum())
-
-
-def _mi_top_k_lags(y: np.ndarray, freq: int = 24, k: int = 5) -> float:
-    """Σ(top-k lag MI) / Σ(all lag MI) over lags 1..min(freq, n−1)
-    (reference MI_top_k_lags semantics with the histogram estimator)."""
-    max_lag = min(freq, len(y) - 1)
-    if max_lag < 1 or len(y) - max_lag < 16:
-        return np.nan
-    target = y[max_lag:]
-    scores = np.array(
-        [
-            _hist_mi(y[max_lag - lag: len(y) - lag], target)
-            for lag in range(1, max_lag + 1)
-        ]
-    )
-    tot = scores.sum()
-    if tot <= 0:
-        return np.nan
-    top = np.sort(scores)[::-1][: min(k, len(scores))]
-    return float(top.sum() / tot)
-
-
-def _classical_resid(y: np.ndarray, period: int = 24) -> np.ndarray:
-    """Interior residuals of a classical additive decomposition (numpy
-    twin of operators/decompose.classical_decompose) for the
-    forecastability ratio."""
-    n = len(y)
-    half = period // 2
-    if n < 2 * period + 1:
-        return np.array([])
-    kern = np.full(period + 1, 1.0 / period)
-    kern[0] = kern[-1] = 0.5 / period
-    trend = np.convolve(y, kern, mode="valid")  # length n - period
-    interior = slice(half, n - half)
-    detr = y[interior] - trend
-    phase = (np.arange(n) % period)[interior]
-    means = np.full(period, np.nan)
-    for p in range(period):
-        sel = phase == p
-        if sel.any():
-            means[p] = detr[sel].mean()
-    means -= np.nanmean(means)
-    return detr - means[phase]
-
-
 def ts_features(
     df: DataFrame, id_col: str, ts_col: str, value_col: str, freq: int = 24
 ) -> DataFrame:
@@ -282,6 +146,146 @@ def ts_features(
     DFA exponent, MI top-k lag concentration, seasonal strength at
     m ∈ {4, 13, 52} (MASE ratios), and Hyndman forecastability
     (perm-entropy(series) / perm-entropy(decomposition residuals))."""
+
+    # All kernel helpers are defined INSIDE this function on purpose:
+    # cloudpickle serializes nested functions BY VALUE, so the grouped-map
+    # kernel runs on executors that cannot import tsforge_spark (e.g. a
+    # harness SparkSession without the package on the worker sys.path).
+
+    def _perm_entropy3(y: np.ndarray) -> float:
+        """Ordinal-pattern (m=3) entropy in bits, argsort tiebreak —
+        the numpy twin of antropy.perm_entropy(order=3)."""
+        if len(y) < 3:
+            return np.nan
+        win = np.lib.stride_tricks.sliding_window_view(y, 3)
+        pats = np.argsort(win, axis=1, kind="stable")
+        codes = pats[:, 0] * 9 + pats[:, 1] * 3 + pats[:, 2]
+        _, cnt = np.unique(codes, return_counts=True)
+        p = cnt / cnt.sum()
+        return float(-(p * np.log2(p)).sum())
+
+
+    def _score_mase(y: np.ndarray, season: int) -> float:
+        """mean |y_t − y_{t−season}| (reference score_mase,
+        ts_features_extension.py:160-163)."""
+        if len(y) <= season:
+            return np.nan
+        return float(np.mean(np.abs(y[:-season] - y[season:])))
+
+
+    def _seasonal_strength(mae_seasonal: float, mae_naive: float) -> float:
+        """clip(1 − mae_m/mae_1, 0, 1); nan on zero/non-finite naive MAE
+        (reference _seasonal_strength, ts_features_extension.py:166-170)."""
+        if not np.isfinite(mae_naive) or mae_naive == 0 or not np.isfinite(mae_seasonal):
+            return np.nan
+        return float(np.clip(1.0 - mae_seasonal / mae_naive, 0.0, 1.0))
+
+
+    def _spectral_entropy(y: np.ndarray) -> float:
+        """Normalized Shannon entropy of the periodogram (numpy twin of
+        antropy.spectral_entropy(method='fft', normalize=True),
+        reference hyndman-style forecastability inputs)."""
+        if len(y) < 8 or np.allclose(y, y[0]):
+            return np.nan
+        ps = np.abs(np.fft.rfft(y - y.mean())) ** 2
+        ps = ps[1:]  # drop DC (zero after de-meaning)
+        tot = ps.sum()
+        if tot <= 0:
+            return np.nan
+        p = ps / tot
+        p = p[p > 0]
+        return float(-(p * np.log2(p)).sum() / np.log2(len(ps)))
+
+
+    def _dfa(y: np.ndarray) -> float:
+        """Detrended fluctuation analysis exponent: slope of
+        log F(w) vs log w with order-1 detrending over log-spaced window
+        sizes (numpy stand-in for nolds.dfa — reference hurst_exp_dfa,
+        ts_features_extension.py:36-37)."""
+        n = len(y)
+        if n < 32:
+            return np.nan
+        profile = np.cumsum(y - y.mean())
+        sizes = np.unique(
+            np.floor(np.exp(np.linspace(np.log(4), np.log(n // 4), 12))).astype(int)
+        )
+        flucts = []
+        for w in sizes:
+            m = n // w
+            seg = profile[: m * w].reshape(m, w)
+            t = np.arange(w, dtype=np.float64)
+            tm = t - t.mean()
+            denom = (tm * tm).sum()
+            slope = (seg * tm).sum(axis=1) / denom
+            inter = seg.mean(axis=1)
+            resid = seg - (inter[:, None] + slope[:, None] * tm)
+            flucts.append(np.sqrt((resid**2).mean()))
+        logs = np.log(sizes)
+        logf = np.log(np.asarray(flucts))
+        good = np.isfinite(logf)
+        if good.sum() < 4:
+            return np.nan
+        return float(np.polyfit(logs[good], logf[good], 1)[0])
+
+
+    def _hist_mi(x: np.ndarray, ylag: np.ndarray, bins: int = 8) -> float:
+        """Histogram mutual information (quantile bins) — a deterministic
+        numpy stand-in for sklearn mutual_info_regression (unavailable in
+        this environment; reference MI_top_k_lags,
+        ts_features_extension.py:75-96)."""
+        qs = np.linspace(0, 1, bins + 1)[1:-1]
+        bx = np.searchsorted(np.quantile(x, qs), x)
+        by = np.searchsorted(np.quantile(ylag, qs), ylag)
+        joint = np.zeros((bins, bins))
+        np.add.at(joint, (bx, by), 1.0)
+        joint /= joint.sum()
+        px = joint.sum(axis=1, keepdims=True)
+        py = joint.sum(axis=0, keepdims=True)
+        nz = joint > 0
+        return float((joint[nz] * np.log(joint[nz] / (px @ py)[nz])).sum())
+
+
+    def _mi_top_k_lags(y: np.ndarray, freq: int = 24, k: int = 5) -> float:
+        """Σ(top-k lag MI) / Σ(all lag MI) over lags 1..min(freq, n−1)
+        (reference MI_top_k_lags semantics with the histogram estimator)."""
+        max_lag = min(freq, len(y) - 1)
+        if max_lag < 1 or len(y) - max_lag < 16:
+            return np.nan
+        target = y[max_lag:]
+        scores = np.array(
+            [
+                _hist_mi(y[max_lag - lag: len(y) - lag], target)
+                for lag in range(1, max_lag + 1)
+            ]
+        )
+        tot = scores.sum()
+        if tot <= 0:
+            return np.nan
+        top = np.sort(scores)[::-1][: min(k, len(scores))]
+        return float(top.sum() / tot)
+
+
+    def _classical_resid(y: np.ndarray, period: int = 24) -> np.ndarray:
+        """Interior residuals of a classical additive decomposition (numpy
+        twin of operators/decompose.classical_decompose) for the
+        forecastability ratio."""
+        n = len(y)
+        half = period // 2
+        if n < 2 * period + 1:
+            return np.array([])
+        kern = np.full(period + 1, 1.0 / period)
+        kern[0] = kern[-1] = 0.5 / period
+        trend = np.convolve(y, kern, mode="valid")  # length n - period
+        interior = slice(half, n - half)
+        detr = y[interior] - trend
+        phase = (np.arange(n) % period)[interior]
+        means = np.full(period, np.nan)
+        for p in range(period):
+            sel = phase == p
+            if sel.any():
+                means[p] = detr[sel].mean()
+        means -= np.nanmean(means)
+        return detr - means[phase]
 
     def feats(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
