@@ -18,6 +18,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# local-mode convenience: when run as a plain script, python puts tools/
+# on sys.path, not the repo root; on a cluster --py-files handles this
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -25,6 +31,11 @@ def main() -> None:
     p.add_argument("--store", required=True, help="snapshot store directory")
     p.add_argument("--out", required=True, help="engine output directory")
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument(
+        "--retention", default=None,
+        help="per-tier max age in days after the rollup, e.g. "
+             "'1m=30,1h=180' (omitted tiers are kept forever)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,6 +53,12 @@ def main() -> None:
         spark, SnapshotStore(args.store), args.out, n_buckets=args.n_buckets
     )
     result = pipe.run()
+    if args.retention:
+        policy = {
+            k: int(v)
+            for k, v in (kv.split("=") for kv in args.retention.split(","))
+        }
+        result["retention"] = pipe.enforce_retention(policy)
     print(json.dumps(result))
 
 
