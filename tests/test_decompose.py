@@ -343,6 +343,16 @@ def test_asof_tolerance(spark):
     # without tolerance both match
     out2 = asof_join(left, right, "k", "t", ["v"]).toPandas()
     assert out2["v_asof"].notna().all()
+    # the cogroup/merge_asof twin agrees on tolerance semantics
+    from tsforge_spark.operators.asof import asof_join_pandas
+
+    out3 = (
+        asof_join_pandas(left, right, "k", "t", ["v"], tolerance="2 hours")
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    assert out3["v_asof"].iloc[0] == 1.0 and pd.isna(out3["v_asof"].iloc[1])
 
 
 def test_outliers_on_deseasonalized_series(spark):

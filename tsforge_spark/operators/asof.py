@@ -87,12 +87,16 @@ def asof_join_pandas(
     ts_col: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """cogroup + pd.merge_asof variant (reference-semantics twin; Arrow
-    batches, one group per key partition)."""
+    batches, one group per key partition).  ``tolerance`` (e.g.
+    ``"2 hours"``) maps straight onto ``pd.merge_asof(tolerance=...)`` —
+    same semantics as the union+locf variant's parameter."""
     import pandas as pd
     from pyspark.sql import types as T
 
+    tol = pd.Timedelta(tolerance) if tolerance is not None else None
     out_schema = T.StructType(
         list(left.schema.fields)
         + [
@@ -106,7 +110,7 @@ def asof_join_pandas(
         rsel = rpdf[[ts_col] + value_cols].rename(
             columns={v: v + suffix for v in value_cols}
         ).sort_values(ts_col, kind="mergesort")
-        return pd.merge_asof(lpdf, rsel, on=ts_col)
+        return pd.merge_asof(lpdf, rsel, on=ts_col, tolerance=tol)
 
     return left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(
         merge, schema=out_schema
