@@ -382,3 +382,44 @@ def test_retention_enforcement(spark, tmp_path):
     )
     assert len(dec) == len(after_1m)
     assert (dec["value"].to_numpy() == after_1m["turns"].to_numpy()).all()
+
+
+def test_compact_turns_store(spark, tmp_path):
+    """After several incremental appends, compaction must cut file
+    counts while leaving content and the text-equality invariant
+    bit-identical."""
+    from tsforge_spark.fixtures import make_transcripts, make_late_batch, transcripts_to_spark
+
+    base = make_transcripts(n_convs=20, seed=91)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    pipe = RollupPipeline(spark, store, str(tmp_path / "out"), n_buckets=4)
+    assert pipe.run()["status"] == "ok"
+    batches = [base]
+    for seed in (92, 93, 94):
+        late = make_late_batch(base, seed=seed)
+        batches.append(late)
+        store.append(transcripts_to_spark(spark, late))
+        assert pipe.run()["status"] == "ok"
+
+    before = (
+        spark.read.parquet(pipe.turns_path)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    res = pipe.compact_turns()
+    assert res["files_after"] < res["files_before"]
+    after = (
+        spark.read.parquet(pipe.turns_path)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    pd.testing.assert_frame_equal(before[cols], after[cols])
+    all_pdf = pd.concat(batches, ignore_index=True)
+    assert pipe.verify_text_equality(transcripts_to_spark(spark, all_pdf)) == 0
+    # a rebuild from the compacted store still matches the tiers
+    r = pipe.run()
+    assert r["status"] in ("up-to-date",)

@@ -562,6 +562,52 @@ class RollupPipeline:
         )
         return {"status": "ok", "now": str(now), "deleted": deleted}
 
+    def compact_turns(self, days: list | None = None) -> dict:
+        """Compact the turns store: every incremental run APPENDS files
+        to its day/bucket partitions, so long-running stores accumulate
+        small files (read amplification on every rebuild).  Rewrites the
+        given days (default: all) through the canonical layout shuffle —
+        one output file per (day, bucket, salt) task, stable
+        (conv_id, ts, turn_idx) order restored across the merged files.
+        On Iceberg this is ``rewrite_data_files``; here it is a staged
+        read→rewrite of whole day partitions (safe: recompute contract).
+        Returns file counts before/after."""
+        import datetime as _dt
+
+        def _count_files() -> int:
+            n = 0
+            for root, _dirs, files in os.walk(self.turns_path):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+            return n
+
+        before = _count_files()
+        df = self.spark.read.parquet(self.turns_path)
+        if days:
+            days = [
+                d.date() if hasattr(d, "date") else _dt.date.fromisoformat(str(d))
+                for d in days
+            ]
+            df = self._day_filter("day", days)(df)
+        staging = self._stage_dir("compact")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            df.repartition("day", "bucket_id", "salt")
+            .sortWithinPartitions("conv_id", "ts", "turn_idx")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        (
+            self.spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .partitionBy("day", "bucket_id")
+            .parquet(self.turns_path)
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        after = _count_files()
+        metrics = MetricsLog(os.path.join(self.out, "metrics.jsonl"), new_job_id())
+        metrics.log("compact", files_before=before, files_after=after)
+        return {"files_before": before, "files_after": after}
+
     # ---- verification surfaces ----
     def read_tier(self, tier: str) -> DataFrame:
         return self.spark.read.parquet(self.tier_path(tier)).drop("day")
