@@ -388,3 +388,133 @@ def test_outliers_on_deseasonalized_series(spark):
     assert bool(des["deseason_ok"].iloc[0])
     assert des["is_outlier"].iloc[spike_at] == 1  # visible deseasonalized
     assert des["is_outlier"].sum() <= 5           # and not noisy
+
+
+def _np_red_flags(y: np.ndarray, horizon: int = 30) -> dict:
+    """Independent numpy replica of the reference check_red_flags
+    (eda/check_red_flags.py:22-50) + score_mase seasonal strengths
+    (ts_features_extension.py:160-170)."""
+    flags = {}
+    if len(y) > 2 and y.std() > 0:
+        z = (y - y.mean()) / y.std()
+        flags["outliers"] = (np.abs(z) > 3).mean() * 100 > 2
+    else:
+        flags["outliers"] = False
+    flags["intermittent"] = (y == 0).mean() * 100 > 30
+    if len(y) > 20:
+        first, second = y[: len(y) // 2], y[len(y) // 2:]
+        flags["structural_break"] = bool(
+            first.mean() > 0
+            and abs(second.mean() - first.mean()) / first.mean() > 0.5
+        )
+    else:
+        flags["structural_break"] = False
+    flags["short_history"] = len(y) < 2 * horizon
+    flags["constant"] = y.std() < 1e-6
+    mae1 = np.mean(np.abs(np.diff(y))) if len(y) > 1 else np.nan
+    for m in (4, 13, 52):
+        if len(y) > m and np.isfinite(mae1) and mae1 > 0:
+            mae_m = np.mean(np.abs(y[m:] - y[:-m]))
+            flags[f"strength_m{m}"] = float(np.clip(1 - mae_m / mae1, 0, 1))
+        else:
+            flags[f"strength_m{m}"] = None
+    return flags
+
+
+def test_red_flags_battery_matches_reference_formulas(spark):
+    from tsforge_spark.operators.diagnostics import red_flags_battery
+
+    rng = np.random.default_rng(11)
+    t0 = pd.Timestamp("2024-01-01")
+    series = {
+        # constant (and therefore zero-mae1 -> null strengths)
+        "const": np.full(100, 500, dtype=np.int64),
+        # >30% zeros -> intermittent
+        "sparse": np.where(rng.random(120) < 0.6, 0, 100).astype(np.int64),
+        # level shift x3 halfway -> structural break
+        "brk": np.r_[np.full(60, 100), np.full(60, 400)].astype(np.int64)
+        + rng.integers(-5, 6, 120),
+        # a few huge spikes -> >2% |z|>3 outliers
+        "spiky": np.where(
+            rng.random(200) < 0.04, 50_000, rng.integers(90, 110, 200)
+        ).astype(np.int64),
+        # short history
+        "short": rng.integers(0, 50, 12).astype(np.int64),
+        # strong period-4 cycle -> high strength_m4
+        "cyc4": (1000 + 500 * np.sin(2 * np.pi * np.arange(208) / 4))
+        .round()
+        .astype(np.int64),
+    }
+    rows = []
+    for uid, y in series.items():
+        rows.append(
+            pd.DataFrame(
+                {
+                    "uid": uid,
+                    "bucket": t0 + pd.to_timedelta(np.arange(len(y)), "h"),
+                    "c": y,
+                }
+            )
+        )
+    pdf = pd.concat(rows, ignore_index=True)
+    out = (
+        red_flags_battery(
+            spark.createDataFrame(pdf), "uid", "bucket", "c", horizon=30
+        )
+        .toPandas()
+        .set_index("uid")
+    )
+    for uid, y in series.items():
+        exp = _np_red_flags(y.astype(np.float64))
+        got = out.loc[uid]
+        for k in (
+            "outliers",
+            "intermittent",
+            "structural_break",
+            "short_history",
+            "constant",
+        ):
+            assert bool(got[f"flag_{k}"]) == exp[k], (uid, k)
+        for m in (4, 13, 52):
+            e = exp[f"strength_m{m}"]
+            g = got[f"seasonal_strength_m{m}"]
+            if e is None:
+                assert pd.isna(g), (uid, m, g)
+            else:
+                assert abs(g - e) < 1e-12, (uid, m, g, e)
+    # planted expectations actually exercise every flag=1 path
+    assert bool(out.loc["const", "flag_constant"])
+    assert bool(out.loc["sparse", "flag_intermittent"])
+    assert bool(out.loc["brk", "flag_structural_break"])
+    assert bool(out.loc["spiky", "flag_outliers"])
+    assert bool(out.loc["short", "flag_short_history"])
+    assert out.loc["cyc4", "seasonal_strength_m4"] > 0.9
+
+
+def test_ts_battery_sql_strengths_match_kernel(spark):
+    """The oracle-checked SQL strengths and the applyInPandas battery's
+    strengths are the same numbers (ties the EXACT driver row to the
+    pytest-pinned kernel)."""
+    from tsforge_spark.operators.diagnostics import red_flags_battery
+
+    pdf = _hourly_cents(n_ids=3, n_hours=24 * 9)
+    sdf = spark.createDataFrame(pdf)
+    sql_out = (
+        red_flags_battery(sdf, "uid", "bucket", "c")
+        .toPandas()
+        .set_index("uid")
+    )
+    kern_out = (
+        ts_features(sdf, "uid", "bucket", "c", freq=24)
+        .toPandas()
+        .set_index("series_id")
+    )
+    for uid in sql_out.index:
+        for m in (4, 13, 52):
+            a = sql_out.loc[uid, f"seasonal_strength_m{m}"]
+            b = kern_out.loc[uid, f"seasonal_strength_m{m}"]
+            if pd.isna(b):
+                assert pd.isna(a)
+            else:
+                assert abs(a - b) < 1e-9, (uid, m, a, b)
+        assert int(sql_out.loc[uid, "n"]) == int(kern_out.loc[uid, "n"])

@@ -4,7 +4,7 @@ pivot (long→wide) — the remaining SURVEY §2.9/§2.10-adjacent analytics.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from tsforge_spark.catalog import SQL_HOURLY, _hourly, _read
 from tsforge_spark.operators.gapfill import complete_grid
@@ -514,8 +514,10 @@ def q_ts_battery(spark, sf_dir):
     eda/ts_features_extension.py:26-195): spectral entropy, DFA, MI lag
     concentration, seasonal strengths, forecastability.  Genuinely
     non-SQL-expressible (FFT / DFA / histogram-MI kernels) — no DuckDB
-    oracle; the driver records a rows-only check and the numeric
-    semantics are pinned by pandas-oracle pytest (test_decompose)."""
+    oracle; numeric semantics are pinned by pandas-oracle pytest
+    (test_decompose) and the SQL-expressible half is oracle-checked by
+    ``ts_battery_sql`` below.  Kept out of ``queries()`` so every driver
+    row carries a full oracle."""
     from tsforge_spark.operators.sessions import ts_features
 
     y = _zero_filled_hourly(spark, sf_dir).withColumn(
@@ -524,4 +526,93 @@ def q_ts_battery(spark, sf_dir):
     return ts_features(y, "user_id", "bucket", "c", freq=24)
 
 
-QUERIES_TS["ts_battery"] = q_ts_battery
+def q_ts_battery_sql(spark, sf_dir):
+    """The SQL-expressible half of the ts-feature battery, EXACT vs a
+    DuckDB twin: seasonal strengths at m ∈ {4, 13, 52} (MASE ratios —
+    reference score_mase/_seasonal_strength,
+    eda/ts_features_extension.py:160-170) PLUS the red-flag battery
+    (reference eda/check_red_flags.py:22-50: %|z|>3 outliers > 2%,
+    pct_zeros > 30, first-half vs second-half mean shift > 50%,
+    short history < 2*horizon, constant series), all per user over the
+    zero-filled hourly series.
+
+    Exactness discipline: the series is integer cents, so every lag-m
+    absolute difference, zero count, outlier count and half-split sum
+    aggregates as BIGINT (order-independent); the double chains
+    (mean = S/n, var = SS/n - mean*mean, strength = 1 - mae_m/mae_1)
+    are written identically on both engines, and `+ 0.0` normalizes a
+    possible -0.0 from the clip.  One window pass + one groupBy on the
+    same key (user_id) = a single shuffle; at 100 TB the per-series
+    window state is bounded by series length, not data volume."""
+    from tsforge_spark.operators.diagnostics import red_flags_battery
+
+    y = _zero_filled_hourly(spark, sf_dir)
+    return red_flags_battery(
+        y, "user_id", "bucket", "c", ms=(4, 13, 52), horizon=30
+    )
+
+
+ORACLES_TS["ts_battery_sql"] = f"""
+    WITH {_ZF},
+    r AS (SELECT user_id, c,
+                 abs(c - lag(c, 1) OVER wo) AS d1,
+                 abs(c - lag(c, 4) OVER wo) AS d4,
+                 abs(c - lag(c, 13) OVER wo) AS d13,
+                 abs(c - lag(c, 52) OVER wo) AS d52,
+                 row_number() OVER wo AS pos,
+                 count(*) OVER wa AS n_tot,
+                 CAST(sum(c) OVER wa AS BIGINT) AS s_tot,
+                 CAST(sum(c * c) OVER wa AS BIGINT) AS ss_tot
+          FROM y
+          WINDOW wo AS (PARTITION BY user_id ORDER BY bucket),
+                 wa AS (PARTITION BY user_id)),
+    r2 AS (SELECT user_id, c, d1, d4, d13, d52,
+                  CASE WHEN n_tot > 2
+                            AND (ss_tot / n_tot) - (s_tot / n_tot) * (s_tot / n_tot) > 0
+                            AND abs(c - s_tot / n_tot) >
+                                3.0 * sqrt((ss_tot / n_tot)
+                                           - (s_tot / n_tot) * (s_tot / n_tot))
+                       THEN 1 ELSE 0 END AS is_out,
+                  CASE WHEN pos <= CAST(floor(n_tot / 2.0) AS BIGINT)
+                       THEN c END AS c_first
+           FROM r),
+    a AS (SELECT user_id,
+                 count(*) AS n,
+                 CAST(sum(d1) AS BIGINT) AS s1, count(d1) AS k1,
+                 CAST(sum(d4) AS BIGINT) AS s4, count(d4) AS k4,
+                 CAST(sum(d13) AS BIGINT) AS s13, count(d13) AS k13,
+                 CAST(sum(d52) AS BIGINT) AS s52, count(d52) AS k52,
+                 CAST(sum(is_out) AS BIGINT) AS n_out,
+                 CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_zero,
+                 CAST(sum(c_first) AS BIGINT) AS s_first,
+                 count(c_first) AS k_first,
+                 CAST(sum(c) AS BIGINT) AS s_all,
+                 CAST(sum(c * c) AS BIGINT) AS ss_all
+          FROM r2 GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN k4 > 0 AND k1 > 0 AND s1 > 0
+                THEN least(greatest(1.0 - (s4 / k4) / (s1 / k1), 0.0), 1.0)
+                     + 0.0 END AS seasonal_strength_m4,
+           CASE WHEN k13 > 0 AND k1 > 0 AND s1 > 0
+                THEN least(greatest(1.0 - (s13 / k13) / (s1 / k1), 0.0), 1.0)
+                     + 0.0 END AS seasonal_strength_m13,
+           CASE WHEN k52 > 0 AND k1 > 0 AND s1 > 0
+                THEN least(greatest(1.0 - (s52 / k52) / (s1 / k1), 0.0), 1.0)
+                     + 0.0 END AS seasonal_strength_m52,
+           CASE WHEN n > 2 AND n_out * 100.0 / n > 2.0
+                THEN 1 ELSE 0 END AS flag_outliers,
+           CASE WHEN n_zero * 100.0 / n > 30.0
+                THEN 1 ELSE 0 END AS flag_intermittent,
+           CASE WHEN n > 20 AND s_first / k_first > 0
+                     AND abs((s_all - s_first) / (n - k_first)
+                             - s_first / k_first)
+                         / (s_first / k_first) > 0.5
+                THEN 1 ELSE 0 END AS flag_structural_break,
+           CASE WHEN n < 60 THEN 1 ELSE 0 END AS flag_short_history,
+           CASE WHEN (ss_all / n) - (s_all / n) * (s_all / n) < 1e-12
+                THEN 1 ELSE 0 END AS flag_constant
+    FROM a
+"""
+
+QUERIES_TS["ts_battery_sql"] = q_ts_battery_sql

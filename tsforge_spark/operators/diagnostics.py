@@ -156,3 +156,98 @@ def missing_buckets(
     observed = df.select(id_col, ts_col).distinct()
     grid = complete_grid(observed, id_col, ts_col, freq)
     return grid.join(observed, [id_col, ts_col], "left_anti")
+
+
+def red_flags_battery(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    ms: tuple[int, ...] = (4, 13, 52),
+    horizon: int = 30,
+) -> DataFrame:
+    """SQL-expressible ts-feature battery: seasonal strengths at lag m
+    (MASE ratios — reference ``eda/ts_features_extension.py:160-170``)
+    plus the red-flag checks (reference ``eda/check_red_flags.py:22-50``:
+    %|z|>3 outliers > 2%, pct_zeros > 30%, first-half vs second-half
+    mean shift > 50%, short history < 2*horizon, constant variance).
+
+    Expects an integer-valued, densely-gridded ``value_col`` so every
+    partial aggregates exactly as BIGINT (the DuckDB oracle in
+    catalog_ts mirrors the double chains op-for-op).  One ordered window
+    pass + one groupBy on the same key = a single shuffle; window state
+    is bounded by series length, not data volume, so the plan holds at
+    100 TB (per-series rows stay co-partitioned end-to-end)."""
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    wall = Window.partitionBy(id_col)
+    c = F.col(value_col)
+    n_tot = F.count(F.lit(1)).over(wall)
+    s_tot = F.sum(value_col).over(wall)
+    ss_tot = F.sum(c * c).over(wall)
+    mean = s_tot / n_tot
+    var = ss_tot / n_tot - mean * mean
+    is_out = (
+        (n_tot > 2) & (var > 0) & (F.abs(c - mean) > F.lit(3.0) * F.sqrt(var))
+    )
+    pos = F.row_number().over(w)
+    first_half = pos <= (n_tot / F.lit(2)).cast("long")
+    lags = (1, *ms)
+    rowed = df.select(
+        id_col,
+        c.alias("_c"),
+        *[
+            F.abs(c - F.lag(value_col, m).over(w)).alias(f"_d{m}")
+            for m in lags
+        ],
+        F.when(is_out, 1).otherwise(0).alias("_is_out"),
+        F.when(first_half, c).alias("_c_first"),
+    )
+    cc = F.col("_c")
+    agg = rowed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"_d{m}").alias(f"_s{m}") for m in lags],
+        *[F.count(f"_d{m}").alias(f"_k{m}") for m in lags],
+        F.sum("_is_out").alias("_n_out"),
+        F.sum(F.when(cc == 0, 1).otherwise(0)).alias("_n_zero"),
+        F.sum("_c_first").alias("_s_first"),
+        F.count("_c_first").alias("_k_first"),
+        F.sum("_c").alias("_s_all"),
+        F.sum(cc * cc).alias("_ss_all"),
+    )
+    mae1 = F.col("_s1") / F.col("_k1")
+    mean_a = F.col("_s_all") / F.col("n")
+    var_a = F.col("_ss_all") / F.col("n") - mean_a * mean_a
+    m_first = F.col("_s_first") / F.col("_k_first")
+    m_second = (F.col("_s_all") - F.col("_s_first")) / (
+        F.col("n") - F.col("_k_first")
+    )
+
+    def strength(m: int):
+        mae_m = F.col(f"_s{m}") / F.col(f"_k{m}")
+        raw = F.lit(1.0) - mae_m / mae1
+        return F.when(
+            (F.col(f"_k{m}") > 0) & (F.col("_k1") > 0) & (F.col("_s1") > 0),
+            F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)) + 0.0,
+        ).alias(f"seasonal_strength_m{m}")
+
+    return agg.select(
+        id_col,
+        "n",
+        *[strength(m) for m in ms],
+        F.when(
+            (F.col("n") > 2) & (F.col("_n_out") * 100.0 / F.col("n") > 2.0), 1
+        ).otherwise(0).alias("flag_outliers"),
+        F.when(F.col("_n_zero") * 100.0 / F.col("n") > 30.0, 1)
+        .otherwise(0)
+        .alias("flag_intermittent"),
+        F.when(
+            (F.col("n") > 20)
+            & (m_first > 0)
+            & (F.abs(m_second - m_first) / m_first > 0.5),
+            1,
+        ).otherwise(0).alias("flag_structural_break"),
+        F.when(F.col("n") < 2 * horizon, 1).otherwise(0).alias(
+            "flag_short_history"
+        ),
+        F.when(var_a < F.lit(1e-12), 1).otherwise(0).alias("flag_constant"),
+    )
