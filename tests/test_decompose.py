@@ -518,3 +518,33 @@ def test_ts_battery_sql_strengths_match_kernel(spark):
             else:
                 assert abs(a - b) < 1e-9, (uid, m, a, b)
         assert int(sql_out.loc[uid, "n"]) == int(kern_out.loc[uid, "n"])
+
+
+def test_asof_tolerance_per_column_null_gating(spark):
+    """A null in ONE right value column must not let an older,
+    beyond-tolerance value pass the gate for that column while the other
+    column still matches (ADVICE r2: per-value-column matched ts)."""
+    from tsforge_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "t": [pd.Timestamp("2024-01-01 10:00")]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "t": [
+                    pd.Timestamp("2024-01-01 06:00"),  # too old for 2h
+                    pd.Timestamp("2024-01-01 09:30"),  # in window
+                ],
+                "u": [7.0, 2.0],
+                "v": [5.0, None],  # newest in-window row is null in v
+            }
+        )
+    )
+    out = asof_join(
+        left, right, "k", "t", ["u", "v"], tolerance="2 hours"
+    ).toPandas()
+    assert out["u_asof"].iloc[0] == 2.0  # newest in-window non-null u
+    # v's only non-null source row is 4h old -> gated out, NOT 5.0
+    assert pd.isna(out["v_asof"].iloc[0])

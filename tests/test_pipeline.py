@@ -326,11 +326,15 @@ def test_read_series_serving_path(spark, tmp_path):
     )
     assert len(got) == len(want) and len(want) > 0
     assert (got["value"].to_numpy() == want["turns"].to_numpy()).all()
-    # partition pruning visible in the plan: seg_day filters present
+    # partition pruning visible in the plan: the scan's PartitionFilters
+    # entry must actually carry both partition columns
     pruned = spark.read.parquet(pipe.blobs_path).filter(
         (F.col("tier_part") == "1h") & (F.col("seg_day") >= t0.date())
     )
-    assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or True
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "tier_part" in pf[0] and "seg_day" in pf[0], pf[0]
 
 
 def test_retention_enforcement(spark, tmp_path):
@@ -382,6 +386,25 @@ def test_retention_enforcement(spark, tmp_path):
     )
     assert len(dec) == len(after_1m)
     assert (dec["value"].to_numpy() == after_1m["turns"].to_numpy()).all()
+    # 1h month segment straddles the cutoff (14-day span, 7-day policy):
+    # the PARTIALLY-expired segment must be re-encoded from surviving
+    # tier rows, so blob serving never trails the tier tables
+    assert res["reencoded"]["1h"], res
+    after_1h = (
+        pipe.read_tier("1h")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    dec_1h = (
+        pipe.decoded_series("1h")
+        .filter(F.col("measure") == "turns")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(dec_1h) == len(after_1h)
+    assert (dec_1h["value"].to_numpy() == after_1h["turns"].to_numpy()).all()
 
 
 def test_compact_turns_store(spark, tmp_path):
@@ -423,3 +446,35 @@ def test_compact_turns_store(spark, tmp_path):
     # a rebuild from the compacted store still matches the tiers
     r = pipe.run()
     assert r["status"] in ("up-to-date",)
+
+
+def test_history_dedup_scope_full_catches_ts_rewrites(spark, tmp_path):
+    """A duplicate (conv_id, turn_idx) re-delivered with a DIFFERENT ts
+    lands on another day partition, outside the affected-days prune.
+    scope='full' must still drop it (exactly-once under ts rewrites);
+    the default scope documents ts-immutability as an input contract."""
+    import pandas as pd
+
+    from tsforge_spark.fixtures import make_transcripts, transcripts_to_spark
+
+    base = make_transcripts(n_convs=10, seed=5, span_days=6)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    pipe = RollupPipeline(
+        spark,
+        store,
+        str(tmp_path / "out"),
+        n_buckets=4,
+        history_dedup_scope="full",
+    )
+    r1 = pipe.run()
+    assert r1["turns"] == len(base)
+
+    # re-deliver 5 existing keys with ts shifted far into another day
+    dup = base.head(5).copy()
+    dup["ts"] = dup["ts"] + pd.Timedelta(days=30)
+    store.append(transcripts_to_spark(spark, dup))
+    r2 = pipe.run()
+    assert r2["turns"] == 0  # every re-delivered key dropped
+    # the turns store holds exactly the original rows
+    assert pipe.verify_text_equality(transcripts_to_spark(spark, base)) == 0

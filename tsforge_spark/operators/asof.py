@@ -35,9 +35,16 @@ def asof_join(
 
     ``tolerance``: optional max lookback (an interval literal, e.g.
     ``"2 hours"``) — a match older than ``left.ts − tolerance`` becomes
-    NULL, mirroring ``pd.merge_asof(tolerance=...)``.  Implemented by
-    also carrying the matched right timestamp through the same locf
-    window, so it costs no extra shuffle."""
+    NULL, mirroring ``pd.merge_asof(tolerance=...)``.  Each value column
+    carries its OWN matched right timestamp through the same locf window
+    (a right row with a null in one value column contributes no match
+    for that column), so a value can never outlive its source row's
+    tolerance — still one shuffle, no extra pass.
+
+    Null semantics: a null right value is skipped (locf keeps looking
+    back), whereas ``pd.merge_asof`` would return the matched row's
+    null.  On non-null right value columns the two agree exactly (the
+    pytest cross-checks this operator against ``asof_join_pandas``)."""
     lcols = left.columns
     l_tagged = left.withColumn("_side", F.lit(1))
     for v in value_cols:
@@ -52,9 +59,16 @@ def asof_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     if tolerance is not None:
-        unioned = unioned.withColumn(
-            "_rts", F.when(F.col("_side") == 0, F.col(ts_col))
-        )
+        # per-value-column matched timestamp: null right values carry no
+        # match, so each filled value is gated by its OWN source row's ts
+        for v in value_cols:
+            unioned = unioned.withColumn(
+                "_rts_" + v,
+                F.when(
+                    (F.col("_side") == 0) & F.col(v + suffix).isNotNull(),
+                    F.col(ts_col),
+                ),
+            )
     # right rows sort before left rows at equal ts → ties take the right row
     w = (
         Window.partitionBy(key)
@@ -67,13 +81,11 @@ def asof_join(
             v + suffix, F.last(v + suffix, ignorenulls=True).over(w)
         )
     if tolerance is not None:
-        matched_ts = F.last("_rts", ignorenulls=True).over(w)
-        in_window = matched_ts >= F.col(ts_col) - F.expr(
-            f"interval {tolerance}"
-        )
+        lookback = F.col(ts_col) - F.expr(f"interval {tolerance}")
         for v in value_cols:
+            matched_ts = F.last("_rts_" + v, ignorenulls=True).over(w)
             filled = filled.withColumn(
-                v + suffix, F.when(in_window, F.col(v + suffix))
+                v + suffix, F.when(matched_ts >= lookback, F.col(v + suffix))
             )
     return filled.filter(F.col("_side") == 1).select(
         *lcols, *[v + suffix for v in value_cols]

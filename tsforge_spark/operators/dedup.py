@@ -47,10 +47,33 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _hash_token(t: Column, salt: int) -> Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"mh{salt}:"), t)), 1, 8), 16, 10
-    ).cast("long")
+#: minhash family: ONE md5 per shingle (the expensive part), then k
+#: cheap salted variants g_i(h) = (a_i*h + b_i) mod P over the 32-bit
+#: base hash.  a_i < 2^30 and h < 2^32 keep a_i*h + b_i under 2^62 —
+#: no overflow in either engine (DuckDB BIGINT arithmetic RAISES on
+#: overflow rather than wrapping).  P is the largest prime < 2^32.
+_MH_P = 4294967291
+_MH_AB = (
+    (968665207, 121),
+    (780191747, 367),
+    (586993909, 1033),
+    (446744073, 2057),
+    (334214467, 4099),
+    (251732865, 8221),
+    (172908517, 16417),
+    (100000007, 32771),
+)
+
+
+def _base_hash(t: Column) -> Column:
+    """First 32 bits of md5 as a long — engine-portable
+    (DuckDB: ``('0x' || substr(md5(s), 1, 8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
+def _mix(h: Column, i: int) -> Column:
+    a, b = _MH_AB[i]
+    return F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_P))
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -75,24 +98,42 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
 
 
-def minhash_signature(text: Column, k_hashes: int = 8, shingle_k: int = 3) -> list[Column]:
-    """MinHash signature: min over shingles of k independent md5-salted
-    hashes (one column per hash fn)."""
-    sh = word_shingles(text, shingle_k)
+def minhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_hashes: int = 8,
+    shingle_k: int = 3,
+    shingles: DataFrame | None = None,
+    keep_all_ids: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash signature table (id, mh0..mh{k-1}).
 
-    def one(i: int):
-        # closure factory: a `i=i` default param would change the lambda's
-        # arity and make pyspark pass the ELEMENT INDEX as `i`
-        return F.array_min(F.transform(sh, lambda s: _hash_token(s, i)))
+    Explode shingles → ONE base md5 per shingle (a Project barrier the
+    optimizer won't inline: the alias is non-cheap and used k times) →
+    k integer-mix variants inside a map-side-combined ``min`` aggregate.
+    The shuffle carries one partial row per (doc, partition), so at
+    100 TB the signature costs one narrow shuffle of n_docs rows; the
+    md5 work is O(shingles), not O(shingles · k) (the former per-salt
+    md5 scheme cold-compiled ~8 md5 expression trees and dominated the
+    driver's single-shot LSH timing).
 
-    return [one(i) for i in range(k_hashes)]
-
-
-def add_minhash(df: DataFrame, text_col: str, k_hashes: int = 8, shingle_k: int = 3) -> DataFrame:
-    out = df
-    for i, c in enumerate(minhash_signature(F.col(text_col), k_hashes, shingle_k)):
-        out = out.withColumn(f"mh{i}", c)
-    return out
+    ``keep_all_ids``: left-join back to the id universe so docs with no
+    shingles (< shingle_k tokens) still get a (null-signature) row."""
+    src = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, shingle_k)
+    )
+    ex = src.select(id_col, F.explode("sh").alias("_s")).select(
+        id_col, _base_hash(F.col("_s")).alias("_h")
+    )
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(_mix(F.col("_h"), i)).alias(f"mh{i}") for i in range(k_hashes)]
+    )
+    if keep_all_ids:
+        sig = df.select(id_col).join(sig, id_col, "left")
+    return sig
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3) -> DataFrame:
@@ -111,19 +152,9 @@ def lsh_candidate_pairs(
     """Band the signature (rows-per-band = k/bands), bucket-join docs
     sharing a band key → candidate pairs (id_a < id_b), deduplicated."""
     rows_per_band = k_hashes // bands
-    if shingles is not None:
-        # reuse a precomputed (possibly persisted) shingle table instead
-        # of re-deriving shingles from text
-        def one(i: int):
-            return F.array_min(
-                F.transform(F.col("sh"), lambda s: _hash_token(s, i))
-            )
-
-        sig = shingles
-        for i in range(k_hashes):
-            sig = sig.withColumn(f"mh{i}", one(i))
-    else:
-        sig = add_minhash(df.select(id_col, text_col), text_col, k_hashes, shingle_k)
+    sig = minhash_table(
+        df, id_col, text_col, k_hashes, shingle_k, shingles=shingles
+    )
     # One pass: a union of per-band frames would duplicate the signature
     # plan `bands` times (every mh column re-hashed per branch).  Build
     # all band keys as one array over the already-computed mh columns and
@@ -143,12 +174,14 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    # persist the band table before the self-join: it is tiny (bands
-    # rows per doc, two narrow columns) and both join sides read it —
-    # without the persist each side re-derives every signature hash
+    # materialize the band table before the self-join: it is tiny
+    # (bands rows per doc, two narrow columns) and both join sides read
+    # it.  localCheckpoint (not persist): checkpoint blocks are freed
+    # when the frame is GC'd, so a long-lived session running the whole
+    # catalog doesn't accumulate leaked cache entries.
     keyed = sig.select(
         F.col(id_col), F.explode(band_keys).alias("band_key")
-    ).persist()
+    ).localCheckpoint(eager=True)
     a = keyed.alias("a")
     b_ = keyed.alias("b")
     pairs = (

@@ -225,14 +225,18 @@ def media_embedding_neardup(
     uses (cell is the blocking/partition key; no all-pairs join)."""
     from tsforge_spark.operators.similarity import assign_cells, cosine
 
+    # localCheckpoint (not persist): blocks are GC-cleaned, no cache
+    # leak across a long-lived session
     feats = decode_image_features(df, dim=dim, fake=fake).withColumn(
         "feature", F.col("feature").cast("array<double>")
-    ).persist()
+    ).localCheckpoint(eager=True)
     cents = [
         (int(r["media_id"]), list(r["feature"]))
         for r in feats.orderBy("media_id").limit(k_cells).collect()
     ]
-    assigned = assign_cells(feats, cents, "media_id", "feature").persist()
+    assigned = assign_cells(feats, cents, "media_id", "feature").localCheckpoint(
+        eager=True
+    )
     a = assigned.select(
         F.col("media_id").alias("id_a"), F.col("feature").alias("va"),
         F.col("cell").alias("blk"),

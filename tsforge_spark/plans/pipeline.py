@@ -68,7 +68,23 @@ class RollupPipeline:
         hot_threshold: int = 100_000,
         hot_block_size: int = 50_000,
         day_literal_limit: int = 200,
+        history_dedup_scope: str = "affected-days",
     ):
+        """``history_dedup_scope`` controls the exactly-once anti-join:
+
+        - ``"affected-days"`` (default): history keys are pruned to the
+          delta's affected day partitions.  This RELIES on the input
+          contract that a re-delivered ``(conv_id, turn_idx)`` always
+          carries the same ``ts`` (ts-immutability-per-key — true of
+          append-only transcript logs, where a turn's timestamp is part
+          of its identity).  A duplicate key re-delivered with a
+          DIFFERENT ts would land on another day partition and bypass
+          dedup.
+        - ``"full"``: scan every history key (no day pruning) — exact
+          under arbitrary ts rewrites, at the cost of a key scan that
+          grows with total history size.  Use for feeds that can't
+          promise ts immutability.
+        """
         self.spark = spark
         self.store = store
         self.out = out_dir
@@ -78,6 +94,11 @@ class RollupPipeline:
         self.hot_threshold = hot_threshold
         self.hot_block_size = hot_block_size
         self.day_literal_limit = day_literal_limit
+        if history_dedup_scope not in ("affected-days", "full"):
+            raise ValueError(
+                "history_dedup_scope must be 'affected-days' or 'full'"
+            )
+        self.history_dedup_scope = history_dedup_scope
         # set by _prepare's key probes; consumed by run() for lineage
         self._probe_info: dict = {"has_dups": False, "buckets": []}
         os.makedirs(out_dir, exist_ok=True)
@@ -207,12 +228,14 @@ class RollupPipeline:
         existing = self._read_if_exists(self.turns_path)
         if self.dedup_against_history and existing is not None:
             # exactly-once ingest: drop turns already processed.  The
-            # turns store is day-partitioned; only the delta's affected
-            # days can contain prior copies of its keys, so the history
-            # scan partition-prunes to those days instead of growing with
-            # total history size.
+            # turns store is day-partitioned; under the ts-immutability
+            # contract (see __init__: history_dedup_scope) only the
+            # delta's affected days can contain prior copies of its
+            # keys, so the history scan partition-prunes to those days
+            # instead of growing with total history size.  scope="full"
+            # keeps the whole-history key scan for feeds that rewrite ts.
             keys = existing
-            if affected_days:
+            if affected_days and self.history_dedup_scope == "affected-days":
                 keys = self._day_filter("day", affected_days)(keys)
             keys = keys.select("bucket_id", "conv_id", "turn_idx")
             clean = clean.withColumn(
@@ -525,6 +548,7 @@ class RollupPipeline:
             now = now.date()
 
         deleted: dict = {}
+        reencoded: dict = {}
         for tier, max_age in policy.items():
             if max_age is None:
                 continue
@@ -537,9 +561,14 @@ class RollupPipeline:
                         shutil.rmtree(
                             os.path.join(self.tier_path(tier), sub)
                         )
-            # blob segments: drop only fully-expired chunks
+            # blob segments: drop fully-expired chunks; RE-ENCODE
+            # partially-expired ones from the surviving tier rows so the
+            # blob serving path never trails the tier tables (a month
+            # chunk straddling the cutoff would otherwise still serve
+            # days the tier just dropped)
             seg_unit = SEGMENT_TRUNC[tier]
             tier_dir = os.path.join(self.blobs_path, f"tier_part={tier}")
+            partial: list = []
             for d, sub in _day_dirs(tier_dir, prefix="seg_day="):
                 if seg_unit == "month":
                     nxt = (d.replace(day=1) + _dt.timedelta(days=32)).replace(
@@ -552,15 +581,61 @@ class RollupPipeline:
                     gone.append(f"blob:{d}")
                     if not dry_run:
                         shutil.rmtree(os.path.join(tier_dir, sub))
+                elif d < cutoff:
+                    partial.append(_dt.datetime(d.year, d.month, d.day))
             deleted[tier] = gone
+            reencoded[tier] = [str(p.date()) for p in partial]
+            if partial and not dry_run:
+                surviving = (
+                    self.spark.read.parquet(self.tier_path(tier))
+                    .filter(
+                        F.date_trunc(seg_unit, F.col("bucket")).isin(partial)
+                    )
+                )
+                # a partial segment with NO surviving tier rows would be
+                # untouched by the dynamic overwrite — drop it outright
+                have = {
+                    r["m"]
+                    for r in surviving.select(
+                        F.to_date(
+                            F.date_trunc(seg_unit, F.col("bucket"))
+                        ).alias("m")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                for p in list(partial):
+                    if p.date() not in have:
+                        partial.remove(p)
+                        reencoded[tier].remove(str(p.date()))
+                        deleted[tier].append(f"blob:{p.date()}")
+                        shutil.rmtree(
+                            os.path.join(tier_dir, f"seg_day={p.date()}")
+                        )
+                if partial:
+                    blobs = encode_tier_blobs(
+                        surviving.drop("day"), tier, self.measures
+                    ).withColumn("seg_day", F.to_date("segment")).withColumn(
+                        "tier_part", F.lit(tier)
+                    )
+                    self._merge_partitions(
+                        blobs, self.blobs_path, ["tier_part", "seg_day"],
+                        "retention-reencode",
+                    )
         metrics = MetricsLog(os.path.join(self.out, "metrics.jsonl"), new_job_id())
         metrics.log(
             "retention",
             now=str(now),
             dry_run=dry_run,
             deleted={k: len(v) for k, v in deleted.items()},
+            reencoded={k: len(v) for k, v in reencoded.items()},
         )
-        return {"status": "ok", "now": str(now), "deleted": deleted}
+        return {
+            "status": "ok",
+            "now": str(now),
+            "deleted": deleted,
+            "reencoded": reencoded,
+        }
 
     def compact_turns(self, days: list | None = None) -> dict:
         """Compact the turns store: every incremental run APPENDS files
