@@ -478,3 +478,25 @@ def test_history_dedup_scope_full_catches_ts_rewrites(spark, tmp_path):
     assert r2["turns"] == 0  # every re-delivered key dropped
     # the turns store holds exactly the original rows
     assert pipe.verify_text_equality(transcripts_to_spark(spark, base)) == 0
+
+
+def test_unique_key_check_trust_matches_probe(spark, tmp_path):
+    """On contract-clean input the 'trust' mode (no in-delta dup probe)
+    produces byte-identical tiers to the default probe mode."""
+    from tsforge_spark.fixtures import make_transcripts, transcripts_to_spark
+
+    base = make_transcripts(n_convs=12, seed=91, span_days=5)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    a = RollupPipeline(spark, store, str(tmp_path / "a"), n_buckets=4)
+    b = RollupPipeline(
+        spark, store, str(tmp_path / "b"), n_buckets=4,
+        unique_key_check="trust",
+    )
+    ra, rb = a.run(), b.run()
+    assert ra["turns"] == rb["turns"] == len(base)
+    for tier in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(
+            _tier_norm(a.read_tier(tier).toPandas()),
+            _tier_norm(b.read_tier(tier).toPandas()),
+        )

@@ -69,8 +69,22 @@ class RollupPipeline:
         hot_block_size: int = 50_000,
         day_literal_limit: int = 200,
         history_dedup_scope: str = "affected-days",
+        unique_key_check: str = "probe",
     ):
-        """``history_dedup_scope`` controls the exactly-once anti-join:
+        """``unique_key_check`` controls in-delta dedup verification:
+
+        - ``"probe"`` (default): verify (conv_id, turn_idx) uniqueness
+          with a key-hash probe every run; violations trigger a
+          dropDuplicates pass.  Belt-and-suspenders over the input
+          contract.
+        - ``"trust"``: skip the probe and trust the contract (exactly
+          the guarantee an upstream Iceberg writer with a unique-key
+          constraint provides).  Dedup AGAINST HISTORY still runs — this
+          only skips the within-delta re-verification.  If the contract
+          is violated, duplicate rows land in the store and the
+          text-equality verifier flags them.
+
+        ``history_dedup_scope`` controls the exactly-once anti-join:
 
         - ``"affected-days"`` (default): history keys are pruned to the
           delta's affected day partitions.  This RELIES on the input
@@ -99,6 +113,9 @@ class RollupPipeline:
                 "history_dedup_scope must be 'affected-days' or 'full'"
             )
         self.history_dedup_scope = history_dedup_scope
+        if unique_key_check not in ("probe", "trust"):
+            raise ValueError("unique_key_check must be 'probe' or 'trust'")
+        self.unique_key_check = unique_key_check
         # set by _prepare's key probes; consumed by run() for lineage
         self._probe_info: dict = {"has_dups": False, "buckets": []}
         os.makedirs(out_dir, exist_ok=True)
@@ -218,10 +235,18 @@ class RollupPipeline:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(2) as ex:
-            f_dup = ex.submit(_dup_probe)
-            f_hot = ex.submit(_hot_probe)
-            has_dups, (hot_ids, probe_buckets) = f_dup.result(), f_hot.result()
+        if self.unique_key_check == "trust":
+            # contract-clean input (see __init__): skip the in-delta
+            # verification probe; history dedup still applies in run()
+            has_dups, (hot_ids, probe_buckets) = False, _hot_probe()
+        else:
+            with ThreadPoolExecutor(2) as ex:
+                f_dup = ex.submit(_dup_probe)
+                f_hot = ex.submit(_hot_probe)
+                has_dups, (hot_ids, probe_buckets) = (
+                    f_dup.result(),
+                    f_hot.result(),
+                )
         self._probe_info = {"has_dups": has_dups, "buckets": probe_buckets}
         if has_dups:
             clean = clean.dropDuplicates(["conv_id", "turn_idx"])
@@ -285,6 +310,48 @@ class RollupPipeline:
             target
         )
         _ = stage  # kept for call-site symmetry / future Iceberg MERGE
+
+    def _staging_footer_counts(self, staging: str) -> tuple[list, int]:
+        """Exact per-bucket row counts from the staged parquet footers —
+        driver-side metadata only, no Spark job (Iceberg: the commit's
+        manifest statistics).  Incremental deltas produce a handful of
+        files, so this is microseconds."""
+        import pyarrow.parquet as pq
+
+        per_bucket: dict[int, int] = {}
+        for root, _dirs, files in os.walk(staging):
+            b = None
+            for part in root.split(os.sep):
+                if part.startswith("bucket_id="):
+                    b = int(part.split("=", 1)[1])
+            if b is None:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    n = pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    per_bucket[b] = per_bucket.get(b, 0) + n
+        counts = sorted(per_bucket.items())
+        return counts, int(sum(c for _, c in counts))
+
+    def _move_staged_files(self, staging: str, target: str) -> int:
+        """Append staged day/bucket-partitioned files to ``target`` by
+        moving them (same filesystem → rename).  File names carry Spark's
+        per-job UUID, so collisions with existing store files cannot
+        occur.  Returns the number of files moved."""
+        moved = 0
+        for root, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            if "bucket_id=" not in rel:
+                continue
+            dst_dir = os.path.join(target, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in files:
+                if f.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(root, f), os.path.join(dst_dir, f)
+                    )
+                    moved += 1
+        return moved
 
     # ---- main entry ----
     def run(self) -> dict:
@@ -368,17 +435,17 @@ class RollupPipeline:
             else:
                 counts = self._probe_info["buckets"]
         else:
+            # stage ALREADY day/bucket-partitioned: the append then
+            # becomes a driver-side file move (the plain-parquet stand-in
+            # for an Iceberg fast-append commit, which is exactly
+            # "add these data files to the table"), and the exact
+            # post-anti-join row counts come from the parquet FOOTERS —
+            # no readback aggregate job, no second write of the delta.
             shutil.rmtree(ingest_staging, ignore_errors=True)
-            prepared.write.mode("overwrite").parquet(ingest_staging)
-            clean = self.spark.read.parquet(ingest_staging)
-            # incremental deltas are small — one narrow readback
-            # aggregate yields the exact post-anti-join row count and
-            # per-bucket lineage counts
-            bucket_rows = clean.groupBy("bucket_id").count().collect()
-            counts = [
-                (int(r["bucket_id"]), int(r["count"])) for r in bucket_rows
-            ]
-            n_turns = int(sum(c for _, c in counts))
+            prepared.write.mode("overwrite").partitionBy(
+                "day", "bucket_id"
+            ).parquet(ingest_staging)
+            counts, n_turns = self._staging_footer_counts(ingest_staging)
         mark("prepare")
         metrics.log("ingest", rows=n_turns, snapshots=[after + 1, last])
 
@@ -388,11 +455,15 @@ class RollupPipeline:
             return {"status": "empty-delta", "turns": 0}
 
         # canonical ordered turns store (append — rows are new by dedup;
-        # on a first run the store write already happened above)
+        # on a first run the store write already happened above).  The
+        # staged files are already in final (day, bucket) layout and
+        # final sort order, so the append is a metadata-only file move.
+        # Crash mid-move leaves a subset appended — healed by the replay
+        # contract (dedup-against-history drops the moved rows, the
+        # affected-day recompute rebuilds the tiers), same convergence
+        # as a crash mid-commit of the previous write-job append.
         if not first_run and n_turns > 0:
-            clean.write.mode("append").partitionBy("day", "bucket_id").parquet(
-                self.turns_path
-            )
+            self._move_staged_files(ingest_staging, self.turns_path)
         mark("turns_store")
 
         if n_turns > 0:
@@ -451,14 +522,12 @@ class RollupPipeline:
             return _dt.datetime(d.year, d.month, d.day)
 
         all_blobs = None
-        affected_seg_days: set = set()
         for tier in TIERS:
             seg_unit = SEGMENT_TRUNC[tier]
             tier_df = self.spark.read.parquet(self.tier_path(tier))
             seg_of_day = sorted(
                 {_py_trunc(d, seg_unit) for d in affected_days}
             )
-            affected_seg_days.update(s.date() for s in seg_of_day)
             affected = tier_df.filter(
                 F.date_trunc(seg_unit, F.col("bucket")).isin(seg_of_day)
             )
@@ -467,19 +536,17 @@ class RollupPipeline:
                 "tier_part", F.lit(tier)
             )
             all_blobs = blobs if all_blobs is None else all_blobs.unionByName(blobs)
+        # bytes written THIS run ride the write job as an observation
+        # metric (one cheap sum — Iceberg: commit manifest statistics);
+        # a readback scan, even partition-pruned, is a whole extra job
+        obs_blobs = Observation()
+        all_blobs = all_blobs.observe(
+            obs_blobs, F.sum("blob_bytes").alias("bytes")
+        )
         self._merge_partitions(
             all_blobs, self.blobs_path, ["tier_part", "seg_day"], "blobs"
         )
-        # bytes written THIS run: sum only the seg_day partitions just
-        # rewritten (partition-pruned scan) — a whole-store rescan would
-        # grow with history
-        blob_bytes_written = (
-            self.spark.read.parquet(self.blobs_path)
-            .filter(F.col("seg_day").isin(sorted(affected_seg_days)))
-            .agg(F.sum("blob_bytes"))
-            .collect()[0][0]
-            or 0
-        )
+        blob_bytes_written = int(obs_blobs.get["bytes"] or 0)
         mark("blobs")
         metrics.log("blobs", blob_bytes_written=int(blob_bytes_written))
 
