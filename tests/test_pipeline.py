@@ -58,8 +58,13 @@ def test_full_run_and_incremental_refold(spark, base_pdf, tmp_path):
     store = SnapshotStore(str(tmp_path / "store"))
     store.append(transcripts_to_spark(spark, base_pdf))
 
+    # blob_conv_prune_limit ON here so the conv-pruned blob path (encode
+    # delta convs only + carry untouched convs' blobs) is covered by the
+    # strongest equality assertions below; other tests run the default
+    # whole-chunk path
     pipe = RollupPipeline(
-        spark, store, str(tmp_path / "out"), n_buckets=8
+        spark, store, str(tmp_path / "out"), n_buckets=8,
+        blob_conv_prune_limit=1000,
     )
     r1 = pipe.run()
     assert r1["status"] == "ok"

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tsforge_spark.codec.gorilla import assemble_blob, decode_series, encode_timestamps
+from tsforge_spark.codec.gorilla import encode_blobs_batch, assemble_blob, decode_series, encode_timestamps
 
 SEGMENT_TRUNC = {"1m": "day", "1h": "month", "1d": "month"}
 
@@ -89,17 +89,21 @@ def encode_tier_blobs(
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pdf))
         vals_by_m = {m: pdf[m].to_numpy(dtype=np.float64) for m in measures}
-        segs = pdf["segment"]
+        # ONE vectorized pass encodes every chunk in the batch (timestamp
+        # streams shared across measures); per-blob work is just a header
+        # pack + slices — tier cells at coarse grains average a handful of
+        # points per segment, so per-chunk numpy calls would dominate
+        blob_lists = encode_blobs_batch(ts_all, starts, ends, vals_by_m)
+        n_pts = (ends - starts).astype(np.int64)
+        conv_b = conv_all[starts]
+        seg_b = pdf["segment"].iloc[starts].to_numpy()
         rows = []
-        for s, e in zip(starts, ends):
-            n = int(e - s)
-            # timestamp streams are shared across measures of a chunk —
-            # encode them once
-            ts_parts = encode_timestamps(ts_all[s:e])
+        for j in range(len(starts)):
+            n = int(n_pts[j])
             for m in measures:
-                blob = assemble_blob(ts_parts, vals_by_m[m][s:e])
+                blob = blob_lists[m][j]
                 rows.append(
-                    (conv_all[s], segs.iat[s], tier, m, n, n * 16, len(blob), blob)
+                    (conv_b[j], seg_b[j], tier, m, n, n * 16, len(blob), blob)
                 )
         return pd.DataFrame(rows, columns=cols)
 

@@ -205,3 +205,91 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     ts = decode_timestamps(tc, tp, first_ts, first_delta, n)
     vals = decode_values(vc, vp, np.uint64(first_bits), n)
     return ts, vals
+
+
+def encode_blobs_batch(
+    ts_all: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    vals_by_measure: dict[str, np.ndarray],
+) -> dict[str, list[bytes]]:
+    """Encode MANY series chunks in one vectorized pass.
+
+    ``ts_all``/``vals_by_measure[m]`` hold B chunks back-to-back;
+    ``starts[j]:ends[j]`` delimits chunk j.  Produces bytes IDENTICAL to
+    per-chunk ``assemble_blob(encode_timestamps(...), ...)`` (pinned by
+    a property test) but runs the diff/zigzag/significance/pack numpy
+    work ONCE over all rows instead of ~15 numpy calls per chunk — the
+    per-blob cost collapses to a header pack + four slices, which is
+    what makes millions of tiny tier-cells-per-conversation blobs
+    encodable without per-group overhead dominating (tier cells at 1h/1d
+    grain average only a few points per segment).
+
+    Returns {measure: [blob_j bytes, ...]} in chunk order."""
+    ts_all = np.ascontiguousarray(ts_all, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n_tot = len(ts_all)
+    lens = ends - starts
+    n_blobs = len(starts)
+    pos = np.arange(n_tot, dtype=np.int64) - np.repeat(starts, lens)
+
+    # ---- shared timestamp streams ----
+    first_ts = ts_all[starts]
+    has2 = lens > 1
+    first_delta = np.zeros(n_blobs, dtype=np.int64)
+    first_delta[has2] = ts_all[starts[has2] + 1] - ts_all[starts[has2]]
+    # dod entries: elements with pos >= 2 (second difference stays inside
+    # the chunk by construction)
+    t_mask = pos >= 2
+    t_idx = np.flatnonzero(t_mask)
+    dod = ts_all[t_idx] - 2 * ts_all[t_idx - 1] + ts_all[t_idx - 2]
+    z = _zigzag(dod)
+    zb = z.reshape(-1, 1).view(np.uint8).reshape(-1, 8)
+    nz = zb != 0
+    any_nz = nz.any(axis=1)
+    t_sl = np.where(
+        any_nz, 8 - np.argmax(nz[:, ::-1], axis=1).astype(np.int64), 0
+    )
+    t_tz = np.zeros(len(t_sl), dtype=np.int64)
+    ts_ctrl = t_sl.astype(np.uint8).tobytes()
+    ts_payload = _pack_bytes(zb, t_tz, t_sl).tobytes()
+    # per-blob stream offsets
+    t_counts = np.maximum(lens - 2, 0)
+    tc_off = np.zeros(n_blobs + 1, dtype=np.int64)
+    np.cumsum(t_counts, out=tc_off[1:])
+    t_csl = np.zeros(len(t_sl) + 1, dtype=np.int64)
+    np.cumsum(t_sl, out=t_csl[1:])
+    tp_off = t_csl[tc_off]
+
+    # ---- per-measure value streams ----
+    out: dict[str, list[bytes]] = {}
+    v_mask = pos >= 1
+    v_idx = np.flatnonzero(v_mask)
+    v_counts = np.maximum(lens - 1, 0)
+    vc_off = np.zeros(n_blobs + 1, dtype=np.int64)
+    np.cumsum(v_counts, out=vc_off[1:])
+    header_pack = _HEADER.pack
+    for m, vals in vals_by_measure.items():
+        u = np.ascontiguousarray(vals, dtype=np.float64).view("<u8")
+        x = u[v_idx] ^ u[v_idx - 1]
+        b, tz, sl = _significance(x)
+        val_ctrl = ((tz.astype(np.uint8) << 4) | sl.astype(np.uint8)).tobytes()
+        val_payload = _pack_bytes(b, tz, sl).tobytes()
+        v_csl = np.zeros(len(sl) + 1, dtype=np.int64)
+        np.cumsum(sl, out=v_csl[1:])
+        vp_off = v_csl[vc_off]
+        first_bits = u[starts]
+        blobs = []
+        for j in range(n_blobs):
+            tc = ts_ctrl[tc_off[j]: tc_off[j + 1]]
+            tp = ts_payload[tp_off[j]: tp_off[j + 1]]
+            vc = val_ctrl[vc_off[j]: vc_off[j + 1]]
+            vp = val_payload[vp_off[j]: vp_off[j + 1]]
+            header = header_pack(
+                _MAGIC, int(lens[j]), int(first_ts[j]), int(first_delta[j]),
+                int(first_bits[j]), len(tp), len(vp),
+            )
+            blobs.append(b"".join((header, tc, tp, vc, vp)))
+        out[m] = blobs
+    return out

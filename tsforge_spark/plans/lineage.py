@@ -68,3 +68,37 @@ class MetricsLog:
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         return rec
+
+
+def append_lineage(
+    path: str,
+    job_id: str,
+    stage: str,
+    snapshot_id: int,
+    counts: list[tuple[int, int]],
+    byte_count: int | None = None,
+    detail: str | None = None,
+) -> None:
+    """Append lineage rows as ONE driver-written parquet file — a
+    lineage batch is ≤ n_buckets tiny rows, and a Spark write job costs
+    ~1s of fixed launch/commit overhead per pipeline run (on Iceberg
+    this is a metadata-table insert).  Schema matches ``lineage_rows``
+    so Spark reads the directory transparently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "job_id": pa.array([job_id] * len(counts), pa.string()),
+            "stage": pa.array([stage] * len(counts), pa.string()),
+            "snapshot_id": pa.array([snapshot_id] * len(counts), pa.int64()),
+            "bucket_id": pa.array([int(b) for b, _ in counts], pa.int32()),
+            "row_count": pa.array([int(c) for _, c in counts], pa.int64()),
+            "byte_count": pa.array([byte_count] * len(counts), pa.int64()),
+            "detail": pa.array([detail] * len(counts), pa.string()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        table, os.path.join(path, f"lineage-{job_id}-{stage}.parquet")
+    )

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from tsforge_spark.codec.blobs import SEGMENT_TRUNC, decode_blobs, encode_tier_blobs
 from tsforge_spark.operators.rollup import fold_tier, rollup_transcripts
-from tsforge_spark.plans.lineage import MetricsLog, lineage_rows, new_job_id
+from tsforge_spark.plans.lineage import MetricsLog, append_lineage, new_job_id
 from tsforge_spark.sources.snapshots import SnapshotStore
 
 TIERS = ["1m", "1h", "1d"]
@@ -70,6 +70,7 @@ class RollupPipeline:
         day_literal_limit: int = 200,
         history_dedup_scope: str = "affected-days",
         unique_key_check: str = "probe",
+        blob_conv_prune_limit: int = 0,
     ):
         """``unique_key_check`` controls in-delta dedup verification:
 
@@ -116,8 +117,22 @@ class RollupPipeline:
         if unique_key_check not in ("probe", "trust"):
             raise ValueError("unique_key_check must be 'probe' or 'trust'")
         self.unique_key_check = unique_key_check
+        # a delta touching at most this many conversations re-encodes
+        # only THEIR blob segments (existing blobs of untouched convs in
+        # the same chunk are carried over by a bytes-level read, no
+        # decode/re-encode).  Default OFF: at bench scale the batched
+        # encoder makes whole-chunk re-encode cheaper than the carried
+        # copy (A/B'd: 3.5s vs 5.2s on a 2% delta / 20k convs).  Turn ON
+        # (set to the daily conv bound) when segment population is much
+        # larger than the delta — e.g. 100M convs/month vs 1M/day, where
+        # re-encoding every conversation's chunk for a 1% delta reads
+        # back the wide tier rows and burns encode CPU the carried copy
+        # never touches.
+        self.blob_conv_prune_limit = blob_conv_prune_limit
         # set by _prepare's key probes; consumed by run() for lineage
-        self._probe_info: dict = {"has_dups": False, "buckets": []}
+        self._probe_info: dict = {
+            "has_dups": False, "buckets": [], "delta_convs": None,
+        }
         os.makedirs(out_dir, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -209,10 +224,14 @@ class RollupPipeline:
             )
 
         def _hot_probe() -> tuple:
-            # one narrow aggregate, two tiny derivations off its ~n_convs
-            # rows: the hot set AND per-bucket row counts (pre-dedup —
-            # exact on contract-clean input; the rare dirty case falls
-            # back to a readback count in run())
+            # one narrow aggregate, three tiny derivations off its
+            # ~n_convs rows: the hot set, per-bucket row counts
+            # (pre-dedup — exact on contract-clean input; the rare dirty
+            # case falls back to a readback count in run()), and — for
+            # SMALL deltas — the delta's conversation-id set, which lets
+            # the blob stage re-encode only changed conversations'
+            # segments instead of every conversation in an affected
+            # month chunk
             per_conv = clean.groupBy("conv_id").count().persist()
             hots = [
                 r["conv_id"]
@@ -230,24 +249,33 @@ class RollupPipeline:
                 .agg(F.sum("count").alias("rows"))
                 .collect()
             ]
+            delta_convs = None
+            if per_conv.count() <= self.blob_conv_prune_limit:
+                delta_convs = [
+                    r["conv_id"]
+                    for r in per_conv.select("conv_id").collect()
+                ]
             per_conv.unpersist()
-            return hots, buckets
+            return hots, buckets, delta_convs
 
         from concurrent.futures import ThreadPoolExecutor
 
         if self.unique_key_check == "trust":
             # contract-clean input (see __init__): skip the in-delta
             # verification probe; history dedup still applies in run()
-            has_dups, (hot_ids, probe_buckets) = False, _hot_probe()
+            has_dups = False
+            hot_ids, probe_buckets, delta_convs = _hot_probe()
         else:
             with ThreadPoolExecutor(2) as ex:
                 f_dup = ex.submit(_dup_probe)
                 f_hot = ex.submit(_hot_probe)
-                has_dups, (hot_ids, probe_buckets) = (
-                    f_dup.result(),
-                    f_hot.result(),
-                )
-        self._probe_info = {"has_dups": has_dups, "buckets": probe_buckets}
+                has_dups = f_dup.result()
+                hot_ids, probe_buckets, delta_convs = f_hot.result()
+        self._probe_info = {
+            "has_dups": has_dups,
+            "buckets": probe_buckets,
+            "delta_convs": delta_convs,
+        }
         if has_dups:
             clean = clean.dropDuplicates(["conv_id", "turn_idx"])
         existing = self._read_if_exists(self.turns_path)
@@ -353,6 +381,24 @@ class RollupPipeline:
                     moved += 1
         return moved
 
+    def _replace_partitions_by_move(self, staging: str, target: str) -> None:
+        """Dynamic-partition-overwrite via driver-side file moves: for
+        each ``day=…`` partition dir in ``staging``, drop the matching
+        target partition and move the staged one in (Iceberg: REPLACE
+        PARTITIONS commit).  Crash mid-move leaves a subset replaced —
+        healed by the replay contract, identical to a crash mid-commit
+        of a dynamic-overwrite write job."""
+        if not os.path.isdir(staging):
+            return
+        for sub in os.listdir(staging):
+            if "=" not in sub:
+                continue
+            src = os.path.join(staging, sub)
+            dst = os.path.join(target, sub)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(target, exist_ok=True)
+            os.replace(src, dst)
+
     # ---- main entry ----
     def run(self) -> dict:
         """Process every snapshot after the checkpoint; no-op when
@@ -408,32 +454,26 @@ class RollupPipeline:
             "day", F.to_date("ts")
         )
         if first_run:
-            # row count + affected-day set ride the write job as
-            # observation metrics (two cheap exprs — on Iceberg these
-            # come from the commit's manifest statistics); no history →
-            # no anti-join self-reference, so the turns-store write IS
-            # the materialization (saves a full staging write)
-            obs = Observation()
-            prepared.observe(
-                obs,
-                F.count(F.lit(1)).alias("rows"),
-                F.collect_set("day").alias("days"),
-            ).write.mode("overwrite").partitionBy("day", "bucket_id").parquet(
-                self.turns_path
+            # no history → no anti-join self-reference, so the
+            # turns-store write IS the materialization (saves a full
+            # staging write).  Row counts and the affected-day set then
+            # come from the FILESYSTEM facts the write just created —
+            # partition dir names + parquet footers (Iceberg: the
+            # commit's manifest statistics).  An earlier variant rode
+            # these on the write as observe() metrics; collect_set over
+            # every row is an interpreted aggregate and measurably
+            # drags the write job.
+            import datetime as _dt2
+
+            prepared.write.mode("overwrite").partitionBy(
+                "day", "bucket_id"
+            ).parquet(self.turns_path)
+            counts, n_turns = self._staging_footer_counts(self.turns_path)
+            affected_days = sorted(
+                _dt2.date.fromisoformat(sub.split("=", 1)[1])
+                for sub in os.listdir(self.turns_path)
+                if sub.startswith("day=")
             )
-            observed = obs.get
-            n_turns = int(observed["rows"] or 0)
-            affected_days = sorted(observed["days"] or [])
-            clean = self.spark.read.parquet(self.turns_path)
-            if self._probe_info["has_dups"]:
-                # rare dirty-input path: probe counts were pre-dedup —
-                # recount from the written store
-                bucket_rows = clean.groupBy("bucket_id").count().collect()
-                counts = [
-                    (int(r["bucket_id"]), int(r["count"])) for r in bucket_rows
-                ]
-            else:
-                counts = self._probe_info["buckets"]
         else:
             # stage ALREADY day/bucket-partitioned: the append then
             # becomes a driver-side file move (the plain-parquet stand-in
@@ -468,10 +508,13 @@ class RollupPipeline:
 
         if n_turns > 0:
             # lineage at the hash-bucket grain (probe aggregate on first
-            # runs, staging readback on incremental runs)
-            lineage_rows(
-                self.spark, job_id, "ingest", last, counts, detail=f"after={after}"
-            ).write.mode("append").parquet(self.lineage_path)
+            # runs, staging footers on incremental runs) — written
+            # driver-side: ≤ n_buckets tiny rows don't justify a Spark
+            # job's fixed launch+commit cost
+            append_lineage(
+                self.lineage_path, job_id, "ingest", last, counts,
+                detail=f"after={after}",
+            )
         mark("lineage")
 
         # ---- 1m tier: recompute affected day partitions from the
@@ -492,15 +535,24 @@ class RollupPipeline:
         mark("tier_1m")
         metrics.log("tier_1m", affected_days=len(affected_days))
 
-        # ---- 1h / 1d tiers: re-fold affected days from the finer tier
+        # ---- 1h / 1d tiers: re-fold affected days from the finer tier.
+        # 1d folds from the WRITTEN 1h partitions (a tiny read-back),
+        # not from the 1h plan — recomputing the 1h aggregate inside the
+        # 1d branch (or fusing both tiers into one GROUPING SETS job,
+        # which Expands every 1m cell twice) doubles the shuffled
+        # fine-cell volume; chained folds shuffle 1x fine cells + 1x
+        # hour cells, the minimum.  (fold_tiers_multi in operators/
+        # rollup.py is the tested single-job alternative for setups
+        # where job-launch cost dominates shuffle volume.)
         upd_1m = day_filter(self.spark.read.parquet(self.tier_path("1m")))
         upd_1h = fold_tier(upd_1m.drop("day"), "1h").withColumn(
             "day", F.to_date("bucket")
         )
         self._merge_partitions(upd_1h, self.tier_path("1h"), "day", "t1h")
-        # fold 1d from the same 1h plan (fold-of-fold is exact — the
-        # partials are associative) instead of re-reading the 1h store
-        upd_1d = fold_tier(upd_1h.drop("day"), "1d").withColumn(
+        upd_1h_read = day_filter(
+            self.spark.read.parquet(self.tier_path("1h"))
+        )
+        upd_1d = fold_tier(upd_1h_read.drop("day"), "1d").withColumn(
             "day", F.to_date("bucket")
         )
         self._merge_partitions(upd_1d, self.tier_path("1d"), "day", "t1d")
@@ -521,6 +573,18 @@ class RollupPipeline:
                 d = d - _dt.timedelta(days=d.weekday())
             return _dt.datetime(d.year, d.month, d.day)
 
+        # conv-pruned fast path: only DELTA conversations' tier cells can
+        # have changed, so when the delta is small (daily batch) encode
+        # just their segments and carry the untouched conversations'
+        # existing blobs over with a bytes-level read (no decode, no
+        # re-encode) — a month chunk at 1h/1d grain otherwise re-encodes
+        # every conversation in the store for a 2% delta
+        delta_convs = self._probe_info.get("delta_convs")
+        prune_convs = (
+            delta_convs is not None
+            and not first_run
+            and os.path.exists(self.blobs_path)
+        )
         all_blobs = None
         for tier in TIERS:
             seg_unit = SEGMENT_TRUNC[tier]
@@ -531,21 +595,52 @@ class RollupPipeline:
             affected = tier_df.filter(
                 F.date_trunc(seg_unit, F.col("bucket")).isin(seg_of_day)
             )
+            if prune_convs:
+                affected = affected.filter(
+                    F.col("conv_id").isin(delta_convs)
+                )
             blobs = encode_tier_blobs(affected.drop("day"), tier, self.measures)
             blobs = blobs.withColumn("seg_day", F.to_date("segment")).withColumn(
                 "tier_part", F.lit(tier)
             )
+            if prune_convs:
+                seg_days = sorted({s.date() for s in seg_of_day})
+                carried = (
+                    self.spark.read.parquet(self.blobs_path)
+                    .filter(
+                        (F.col("tier_part") == tier)
+                        & F.col("seg_day").isin(seg_days)
+                        & ~F.col("conv_id").isin(delta_convs)
+                    )
+                    .withColumn("tier_part", F.lit(tier))
+                )
+                blobs = blobs.unionByName(
+                    carried.select(*blobs.columns), allowMissingColumns=False
+                )
             all_blobs = blobs if all_blobs is None else all_blobs.unionByName(blobs)
         # bytes written THIS run ride the write job as an observation
         # metric (one cheap sum — Iceberg: commit manifest statistics);
-        # a readback scan, even partition-pruned, is a whole extra job
+        # a readback scan, even partition-pruned, is a whole extra job.
+        # Staging + atomic per-partition moves (not a direct dynamic
+        # overwrite): the conv-pruned path READS the blob store it
+        # replaces, so the swap must happen only after the carried bytes
+        # are safely rewritten — each seg_day partition flips old→new in
+        # one os.replace.
         obs_blobs = Observation()
         all_blobs = all_blobs.observe(
             obs_blobs, F.sum("blob_bytes").alias("bytes")
         )
-        self._merge_partitions(
-            all_blobs, self.blobs_path, ["tier_part", "seg_day"], "blobs"
-        )
+        blob_staging = self._stage_dir("blobs")
+        shutil.rmtree(blob_staging, ignore_errors=True)
+        all_blobs.write.mode("overwrite").partitionBy(
+            "tier_part", "seg_day"
+        ).parquet(blob_staging)
+        for tier in TIERS:
+            self._replace_partitions_by_move(
+                os.path.join(blob_staging, f"tier_part={tier}"),
+                os.path.join(self.blobs_path, f"tier_part={tier}"),
+            )
+        shutil.rmtree(blob_staging, ignore_errors=True)
         blob_bytes_written = int(obs_blobs.get["bytes"] or 0)
         mark("blobs")
         metrics.log("blobs", blob_bytes_written=int(blob_bytes_written))
