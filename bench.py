@@ -68,15 +68,23 @@ def prepare_input(n_convs: int, work_root: str) -> str:
     return store_dir
 
 
-def run_pipeline(cores: int, store_dir: str, work_root: str) -> dict:
-    """One full pipeline run at a given parallelism; returns metrics."""
+def run_pipeline(cores: int, store_dir: str, work_root: str,
+                 master: str | None = None) -> dict:
+    """One full pipeline run at a given parallelism; returns metrics.
+
+    ``master`` overrides the default ``local[cores]`` — the executor-
+    scaling bench passes ``local-cluster[N,C,M]`` (separate executor
+    JVMs with their own heaps, the closest sandbox analogue of the
+    north rule's N->4N executor criterion)."""
     from tsforge_spark.plans.pipeline import RollupPipeline
     from tsforge_spark.session import get_spark
     from tsforge_spark.sources.snapshots import SnapshotStore
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     spark = get_spark(
-        f"tsforge-bench-{cores}", master=f"local[{cores}]",
+        f"tsforge-bench-{cores}", master=master or f"local[{cores}]",
         shuffle_partitions=max(cores * 2, 16),
+        extra_confs={"spark.executorEnv.PYTHONPATH": repo_dir},
     )
     try:
         out_dir = os.path.join(work_root, f"out_{cores}")
@@ -157,7 +165,7 @@ def run_incremental(cores: int, store_dir: str, work_root: str, n_convs: int) ->
         spark.stop()
 
 
-def run_compute_probe(cores: int, store_dir: str) -> float:
+def run_compute_probe(cores: int, store_dir: str, master: str | None = None) -> float:
     """Compute-stage throughput (rollup → fold → Gorilla encode, no
     sinks): isolates the engine's parallel fraction from the sandbox's
     shared single disk.  Input is read twice so the second, timed pass
@@ -169,9 +177,11 @@ def run_compute_probe(cores: int, store_dir: str) -> float:
     from tsforge_spark.session import get_spark
     from tsforge_spark.sources.snapshots import SnapshotStore
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     spark = get_spark(
-        f"tsforge-compute-{cores}", master=f"local[{cores}]",
+        f"tsforge-compute-{cores}", master=master or f"local[{cores}]",
         shuffle_partitions=max(cores * 2, 16),
+        extra_confs={"spark.executorEnv.PYTHONPATH": repo_dir},
     )
     try:
         df = SnapshotStore(store_dir).read(spark)
@@ -211,8 +221,57 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_cluster_scaling(store_dir: str, work_root: str) -> dict:
+    """North-rule scaling evidence with separate executor JVMs:
+    the SAME pipeline on the SAME input at N and 4N executors
+    (local-cluster[2,4,m] -> local-cluster[8,4,m]; fixed 4-core
+    executors, own heaps/shuffle services — unlike local[K], tasks
+    cannot share one JVM's memory bandwidth pool accounting)."""
+    mem = int(os.environ.get("TSF_EXEC_MEM_MB", "7168"))
+    # best-of-2 per size (fresh output dirs, same input) against the
+    # box's +/-20% run-to-run variance
+    small = max(
+        (run_pipeline(8, store_dir, os.path.join(work_root, f"lc_s{i}"),
+                      master=f"local-cluster[2,4,{mem}]") for i in (0, 1)),
+        key=lambda r: r["turns_per_sec"],
+    )
+    big = max(
+        (run_pipeline(32, store_dir, os.path.join(work_root, f"lc_b{i}"),
+                      master=f"local-cluster[8,4,{mem}]") for i in (0, 1)),
+        key=lambda r: r["turns_per_sec"],
+    )
+    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / 4.0
+    n_turns = big.get("turns")
+    # compute-only probe (rollup->fold->encode, no sinks): separates the
+    # engine's parallel fraction from the sandbox's single shared disk
+    c_small = max(run_compute_probe(8, store_dir,
+                                    master=f"local-cluster[2,4,{mem}]")
+                  for _ in (0, 1))
+    c_big = max(run_compute_probe(32, store_dir,
+                                  master=f"local-cluster[8,4,{mem}]")
+                for _ in (0, 1))
+    return {
+        "mode": "executor-jvms",
+        "turns": n_turns,
+        "compute_turns_per_sec_small": round(c_small, 1),
+        "compute_turns_per_sec_big": round(c_big, 1),
+        "compute_efficiency": round((c_big / c_small) / 4.0, 3),
+        "executors_small": "2x4cores", "executors_big": "8x4cores",
+        "exec_mem_mb": mem,
+        "turns_per_sec_small": round(small["turns_per_sec"], 1),
+        "turns_per_sec_big": round(big["turns_per_sec"], 1),
+        "wall_small": round(small["wall_sec"], 2),
+        "wall_big": round(big["wall_sec"], 2),
+        "stages_small": small.get("stage_sec"),
+        "stages_big": big.get("stage_sec"),
+        "efficiency": round(eff, 3),
+        "speedup": round(big["turns_per_sec"] / small["turns_per_sec"], 2),
+    }
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
+    scaling_cluster = "--scaling-cluster" in sys.argv
     skip_queries = "--skip-queries" in sys.argv
     sf = _sf_from_dir(SF_DIR)
     n_convs = int(os.environ.get("TSF_BENCH_CONVS", max(int(200_000 * sf), 200)))
@@ -220,6 +279,23 @@ def main() -> None:
     extras: dict = {}
     try:
         store_dir = prepare_input(n_convs, work_root)
+        if scaling_cluster:
+            res = run_cluster_scaling(store_dir, work_root)
+            hist = {}
+            if os.path.exists("BENCH_SCALING.json"):
+                try:
+                    with open("BENCH_SCALING.json") as f:
+                        hist = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    hist = {}
+            key = "scaling_cluster_2x4_to_8x4"
+            runs = hist.get(key) or []
+            runs.append(res)
+            hist[key] = runs
+            with open("BENCH_SCALING.json", "w") as f:
+                json.dump(hist, f, indent=1)
+            print(json.dumps(res))
+            return
         if scaling:
             n_big = int(os.environ.get("TSF_SCALE_BIG", CPUS))
             n_small = int(os.environ.get("TSF_SCALE_SMALL", max(n_big // 4, 2)))
@@ -229,6 +305,7 @@ def main() -> None:
                 n_big / n_small
             )
             extras["scaling"] = {
+                "turns": r_big.get("turns"),
                 "cores_small": n_small,
                 "cores_big": n_big,
                 "turns_per_sec_small": round(r_small["turns_per_sec"], 1),

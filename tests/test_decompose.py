@@ -118,8 +118,33 @@ def test_seasonal_strength_separates_cyclic_from_noise(spark):
     assert s["noise"] < 0.3
 
 
+def _stationary_cyclic(n_ids=2, n_hours=24 * 10, seed=7) -> pd.DataFrame:
+    """Stationary (no trend) daily-cycle panel: passes the ADF-lite
+    stationarity gate the way the reference's adfuller passes a
+    mean-reverting seasonal series; a TRENDING series (random walk /
+    drift) correctly fails it."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for i in range(n_ids):
+        hod = np.arange(n_hours) % 24
+        cyc = (100 * np.sin(2 * np.pi * hod / 24) * (i + 1)).round()
+        noise = rng.integers(-20, 21, n_hours)
+        c = (1000 + cyc + noise).astype(np.int64)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "uid": f"u{i}",
+                    "bucket": t0 + pd.to_timedelta(np.arange(n_hours), "h"),
+                    "c": c,
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
 def test_deseasonalize_guard_gates(spark):
-    pdf = _hourly_cents(n_ids=2, n_hours=24 * 10)
+    pdf = _stationary_cyclic(n_ids=2, n_hours=24 * 10)
     # an intermittent series (mostly zeros → ADI high) must be gated out
     n = 24 * 10
     t0 = pd.Timestamp("2024-01-01")
@@ -548,3 +573,59 @@ def test_asof_tolerance_per_column_null_gating(spark):
     assert out["u_asof"].iloc[0] == 2.0  # newest in-window non-null u
     # v's only non-null source row is 4h old -> gated out, NOT 5.0
     assert pd.isna(out["v_asof"].iloc[0])
+
+
+def _np_df_tstat(y: np.ndarray) -> float:
+    """Independent numpy Dickey–Fuller regression (constant, no
+    augmentation): Δy_t = a + g·y_{t−1}; returns the t-stat of g via
+    lstsq (different primitives than the engine's closed-form sums)."""
+    x = y[:-1]
+    d = np.diff(y)
+    X = np.c_[np.ones(len(x)), x]
+    beta, *_ = np.linalg.lstsq(X, d, rcond=None)
+    resid = d - X @ beta
+    s2 = (resid @ resid) / (len(d) - 2)
+    cov = s2 * np.linalg.inv(X.T @ X)
+    return float(beta[1] / np.sqrt(cov[1, 1]))
+
+
+def test_adf_lite_gate_stationary_vs_random_walk(spark):
+    """The ADF-lite stationarity gate (reference nixtla_demo.py:418-424)
+    passes mean-reverting series and rejects random walks; the engine's
+    closed-form t-stat agrees with a numpy lstsq oracle."""
+    from tsforge_spark.operators.decompose import deseasonalize_guard
+
+    rng = np.random.default_rng(5)
+    n = 24 * 12
+    t0 = pd.Timestamp("2024-01-01")
+    hod = np.arange(n) % 24
+    series = {
+        # strong cycle, mean-reverting noise -> stationary
+        "stat": (1000 + 200 * np.sin(2 * np.pi * hod / 24)
+                 + rng.integers(-30, 31, n)).round().astype(np.int64),
+        # random walk with drift -> non-stationary, must be gated out
+        "walk": (2000 + np.cumsum(rng.integers(-5, 8, n))).astype(np.int64),
+    }
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {"uid": k,
+                 "bucket": t0 + pd.to_timedelta(np.arange(n), "h"),
+                 "c": v}
+            )
+            for k, v in series.items()
+        ],
+        ignore_index=True,
+    )
+    out = (
+        deseasonalize_guard(
+            spark.createDataFrame(pdf), "uid", "bucket", "c", period=24
+        )
+        .toPandas()
+        .groupby("uid")["deseason_ok"]
+        .first()
+    )
+    for k, y in series.items():
+        t = _np_df_tstat(y.astype(np.float64))
+        assert bool(out[k]) == (t < -2.86), (k, t, out[k])
+    assert bool(out["stat"]) and not bool(out["walk"])

@@ -154,26 +154,65 @@ def deseasonalize_guard(
     ts_col: str,
     cents_col: str,
     period: int = 24,
+    adf_crit: float = -2.86,
 ) -> DataFrame:
     """Gated deseasonalization (``nixtla_demo.py:410-433``): subtract the
     seasonal component only for series that pass the guards —
-    ``n ≥ 2·period``, ADI < 1.3, CV < 1.5 (the reference's ADF
-    stationarity gate needs statsmodels and is deliberately dropped).
+    ``n ≥ 2·period``, ADI < 1.3, stationarity, CV < 1.5.
+
+    The stationarity gate is an ADF-LITE: the reference calls
+    ``adfuller(x, autolag='AIC')`` (``nixtla_demo.py:418-424``);
+    statsmodels is absent here, so we run the Dickey–Fuller regression
+    Δy_t = α + γ·y_{t−1} + ε in CLOSED FORM from windowed sums (one lag
+    pass + the same groupBy — no UDF, no extra shuffle) and compare the
+    t-statistic of γ against the 5% τ_μ critical value ≈ −2.86
+    (Fuller 1976, constant-only, large n; −2.89 at n=100 — the fixed
+    asymptotic value is the documented deviation from autolag AIC,
+    alongside the absent augmentation lags).  Degenerate regressions
+    (constant series, < 8 usable diffs) fail the gate, matching the
+    reference's except→p=1.0 path.
+
     Returns the input grain + ``deseasonalized`` (== value where gated
     out) and a per-series ``deseason_ok`` flag."""
+    from pyspark.sql import Window
+
     c = F.col(cents_col)
-    gates = df.groupBy(id_col).agg(
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    lagged = df.withColumn("_x", F.lag(cents_col).over(w)).withColumn(
+        "_dy", c - F.col("_x")
+    )
+    x, dy = F.col("_x"), F.col("_dy")
+    gates = lagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum((c > 0).cast("long")).alias("_nz"),
         F.sum(c).alias("_s"),
         F.sum(c * c).alias("_ss"),
+        # Dickey–Fuller regression sums over rows with a defined diff
+        F.count(dy).alias("_m"),
+        F.sum(F.when(dy.isNotNull(), x)).alias("_sx"),
+        F.sum(F.when(dy.isNotNull(), x * x)).alias("_sxx"),
+        F.sum(dy).alias("_sd"),
+        F.sum(dy * dy).alias("_sdd"),
+        F.sum(x * dy).alias("_sxd"),
     )
     n, nz = F.col("_n"), F.col("_nz")
     mu = F.col("_s") / n
     sd = F.sqrt((F.col("_ss") - F.col("_s") * F.col("_s") / n) / n)
     adi = F.when(nz > 0, n / nz).otherwise(F.lit(float("inf")))
     cv = F.when(mu != 0, sd / mu).otherwise(F.lit(float("inf")))
-    ok = (n >= 2 * period) & (adi < 1.3) & (cv < 1.5)
+    m = F.col("_m").cast("double")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / m
+    sxd_c = F.col("_sxd") - F.col("_sx") * F.col("_sd") / m
+    sdd_c = F.col("_sdd") - F.col("_sd") * F.col("_sd") / m
+    gamma = sxd_c / sxx_c
+    sse = sdd_c - sxd_c * sxd_c / sxx_c
+    se = F.sqrt(sse / (m - 2) / sxx_c)
+    t_stat = gamma / se
+    stationary = (
+        (F.col("_m") >= 8) & (sxx_c > 0) & (sse > 0)
+        & (t_stat < F.lit(adf_crit))
+    )
+    ok = (n >= 2 * period) & (adi < 1.3) & stationary & (cv < 1.5)
     gates = gates.select(F.col(id_col), ok.alias("deseason_ok"))
     dec = classical_decompose(df, id_col, ts_col, cents_col, period)
     out = dec.join(gates, id_col)
