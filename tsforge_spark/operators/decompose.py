@@ -172,6 +172,15 @@ def deseasonalize_guard(
     (constant series, < 8 usable diffs) fail the gate, matching the
     reference's except→p=1.0 path.
 
+    Known power caveat (shared, in milder form, by the reference's
+    short-maxlag adfuller): the UNAUGMENTED regression has low power
+    against strongly seasonal stationary series — a dominant
+    deterministic cycle leaves serial structure in Δy that the single
+    regressor can't absorb, pushing t toward 0 and gating such series
+    out conservatively (they keep their raw values; nothing is
+    corrupted).  Noise-dominated stationary series reject decisively
+    (t ≪ −2.86 in the pytest fixtures).
+
     Returns the input grain + ``deseasonalized`` (== value where gated
     out) and a per-series ``deseason_ok`` flag."""
     from pyspark.sql import Window
