@@ -632,3 +632,25 @@ def test_adf_lite_gate_stationary_vs_random_walk(spark):
         t = _np_df_tstat(y.astype(np.float64))
         assert bool(out[k]) == (t < -2.86), (k, t, out[k])
     assert bool(out["stat"]) and not bool(out["walk"])
+
+
+def test_ann_ivf_with_fitted_centroids_recall(spark):
+    """VERDICT r2 #7: the IVF path wired to kmeans_fit (fit on a
+    deterministic hash-sample, assign/search the full set) — recall@10
+    vs exact brute force on the synthetic embeddings."""
+    from tsforge_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    rest = e.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in brute_force_topk(rest, q, 10).collect()}
+    cents = kmeans_fit(e, k=16, iters=5, sample_frac=0.5)
+    approx = {
+        r["vec_id"] for r in ivf_topk(rest, cents, q, 10, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.7, recall  # measured 0.9 on this data
