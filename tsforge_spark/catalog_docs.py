@@ -187,14 +187,51 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF top-10: centroids = vec_ids 0..15, probe the 2 nearest cells."""
+    """IVF top-10: centroids = vec_ids 0..15, probe the 2 nearest cells.
+
+    Assignment is RELATIONAL (broadcast join + max_by argmax,
+    ``similarity.assign_cells_relational``) — the former 16-literal
+    cosine expression tree dominated this query's single-shot timing
+    with Janino codegen and would grow with the centroid count; only
+    probe selection touches the driver (16 rows).  Same argmax
+    tiebreak as ``assign_cells`` → same cells → oracle unchanged."""
+    import numpy as np
+
+    from tsforge_spark.operators.similarity import (
+        _lit_vec,
+        assign_cells_relational,
+    )
+
     e = _read(spark, sf_dir, "embeddings")
-    cents = [
+    cent_rows = [
         (r["vec_id"], list(r["embedding"]))
         for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
     q = _query_vec(spark, sf_dir, 0)
-    out = ivf_topk(e.filter(F.col("vec_id") != 0), cents, q, 10, n_probe=2)
+    qv = np.asarray(q, dtype=np.float64)
+
+    def cos_np(c):
+        c = np.asarray(c, dtype=np.float64)
+        return float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv)))
+
+    probe_ids = [
+        cid for cid, _ in sorted(cent_rows, key=lambda c: -cos_np(c[1]))[:2]
+    ]
+    cents_df = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assigned = assign_cells_relational(
+        e.filter(F.col("vec_id") != 0), cents_df
+    )
+    cand = assigned.filter(F.col("cell").isin(probe_ids))
+    scored = cand.select(
+        "vec_id",
+        "cell",
+        cosine(F.col("embedding").cast("array<double>"), _lit_vec(q)).alias(
+            "cosine"
+        ),
+    )
+    out = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
     return out.select("vec_id", "cell", F.round("cosine", 9).alias("cos_sim"))
 
 

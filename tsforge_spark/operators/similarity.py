@@ -151,3 +151,27 @@ def ivf_topk(
         cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def assign_cells_relational(
+    emb: DataFrame, cents: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    cent_id_col: str = "cid", cent_vec_col: str = "ce",
+) -> DataFrame:
+    """IVF cell assignment as a broadcast join + map-side-combined
+    ``max_by`` argmax (ties to the lowest centroid id — same rule as
+    ``assign_cells``'s first-max).  Unlike the literal-expression
+    variant, codegen stays O(1) in the centroid count and the centroid
+    table can be data-derived without re-planning; the shuffle carries
+    one row per vector (partial max_by combines map-side), so the plan
+    holds at any n·k."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "_sim", cosine(v, F.col(cent_vec_col).cast("array<double>"))
+    )
+    cells = scored.groupBy(id_col).agg(
+        F.expr(f"max_by({cent_id_col}, struct(_sim, -{cent_id_col}))").alias(
+            "cell"
+        )
+    )
+    return emb.join(cells, id_col)
