@@ -19,7 +19,7 @@ from tsforge_spark.operators.dedup import (
     ngram_jaccard,
     simhash16,
 )
-from tsforge_spark.operators.similarity import brute_force_topk, cosine, ivf_topk
+from tsforge_spark.operators.similarity import brute_force_topk, cosine
 from tsforge_spark.operators.text import (
     STOPWORDS,
     add_fingerprint,
