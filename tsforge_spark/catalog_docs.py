@@ -129,16 +129,25 @@ def q_embedding_neardup(spark, sf_dir):
     the sqrt-k layout cuts within-cell pairs ~3x at that scale."""
     import math
 
+    from tsforge_spark.operators.similarity import dot, norm
+
+    # norms are precomputed ONCE per vector and reused across every
+    # centroid score and every candidate pair — higher-order-function
+    # expressions are interpreted (no codegen), so an O(dim) norm
+    # recomputed n·k + pairs times was most of this query's data cost.
+    # The value is the identical IEEE chain, so the oracle is unchanged.
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    ).withColumn("nrm", norm(F.col("e")))
     n = e.count()
     k = max(16, math.ceil(math.sqrt(n)))
     cents = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
     )
     scored = e.join(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col("e"), F.col("ce"))
+        "sim", dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
     )
     # argmax cosine, ties to the lowest centroid id; partial max_by
     # combines map-side so the shuffle carries n rows, not n*k
@@ -150,21 +159,23 @@ def q_embedding_neardup(spark, sf_dir):
     # entries across the 50-query bench session)
     assigned = (
         e.join(cells, "vec_id")
-        .select("vec_id", "e", "cell")
+        .select("vec_id", "e", "nrm", "cell")
         .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("e").alias("va"),
+        F.col("nrm").alias("na"),
         F.col("cell").alias("blk"),
     )
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
         F.col("e").alias("vb"),
+        F.col("nrm").alias("nb"),
         F.col("cell").alias("blk"),
     )
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(sim, 9).alias("cos_sim")
     ).filter(F.col("cos_sim") >= 0.30)
