@@ -158,7 +158,13 @@ def test_no_cartesian_products_anywhere(spark):
     broadcast cross joins.)"""
     import __spark_entry__ as entry_mod
 
-    bnlj_ok = {"target_mean_encoding"}  # 1-row global-stats broadcast
+    # deliberate bounded-broadcast cross joins: 1-row global stats, and
+    # the IVF centroid-scoring join (≤k-row broadcast side, k bounded —
+    # every vector scores against every centroid BY DESIGN; the argmax
+    # reduces it map-side before any shuffle).  embedding_neardup uses
+    # the same shape but its returned plan starts at the eager
+    # localCheckpoint, so the sweep can't see it.
+    bnlj_ok = {"target_mean_encoding", "ann_ivf"}
     offenders = []
     for name, fn in entry_mod.queries().items():
         plan = plan_of(fn(spark, SF))
