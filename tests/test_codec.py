@@ -90,3 +90,57 @@ def test_property_roundtrip(ts_deltas, vals):
     n = min(len(ts_deltas), len(vals))
     ts = np.cumsum(np.asarray(ts_deltas[:n], dtype=np.int64))
     roundtrip(ts, vals[:n])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # chunk length
+            st.sampled_from(["poisson", "const", "neg", "zero", "walk"]),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_batch_encoder_bytes_identical_to_per_chunk(chunks, seed):
+    """encode_blobs_batch (the sole production encode path) must emit
+    bytes IDENTICAL to the per-chunk assemble_blob(encode_timestamps(...))
+    composition, over random chunkings / value shapes — the property the
+    batch-encoder docstring claims."""
+    from tsforge_spark.codec.gorilla import assemble_blob, encode_blobs_batch
+
+    rng = np.random.default_rng(seed)
+    ts_parts, val_parts, starts, ends = [], {"m0": [], "m1": []}, [], []
+    off = 0
+    for n, shape in chunks:
+        ts = np.cumsum(rng.integers(1, 10_000_000, size=n)).astype(np.int64)
+        if shape == "poisson":
+            v0 = rng.poisson(3, n).astype(np.float64)
+        elif shape == "const":
+            v0 = np.full(n, 42.5)
+        elif shape == "neg":
+            v0 = -rng.integers(0, 100, size=n).astype(np.float64)
+        elif shape == "zero":
+            v0 = np.zeros(n)
+        else:
+            v0 = np.cumsum(rng.normal(size=n)) * 1e6
+        v1 = rng.normal(size=n) * 10
+        ts_parts.append(ts)
+        val_parts["m0"].append(v0)
+        val_parts["m1"].append(v1)
+        starts.append(off)
+        ends.append(off + n)
+        off += n
+    ts_all = np.concatenate(ts_parts)
+    vals = {m: np.concatenate(p) for m, p in val_parts.items()}
+    got = encode_blobs_batch(
+        ts_all, np.asarray(starts), np.asarray(ends), vals
+    )
+    for m in vals:
+        for j, (s, e) in enumerate(zip(starts, ends)):
+            want = assemble_blob(
+                encode_timestamps(ts_all[s:e]), vals[m][s:e]
+            )
+            assert got[m][j] == want, (m, j, chunks)

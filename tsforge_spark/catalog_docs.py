@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tsforge_spark.operators.dedup import (
-    minhash_table,
     exact_dedup_clusters,
     lsh_candidate_pairs,
     ngram_jaccard,
@@ -74,16 +73,21 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    """Per-doc near-dup signatures: 4-hash MinHash (one base md5 per
-    shingle + integer-mix variants — see operators/dedup.minhash_table)
-    + 16-bit SimHash."""
+    """Per-doc near-dup signatures: 4-hash MinHash + 16-bit SimHash in
+    ONE map-side pass — zero shuffles, zero joins (``add_minhash``
+    appends ``array_min``-of-integer-mix columns over a single
+    base-md5 ``transform`` of the shingle array; same constants as the
+    historical explode+groupBy scheme, so values and oracle are
+    unchanged)."""
+    from tsforge_spark.operators.dedup import add_minhash, word_shingles
+
     d = _read(spark, sf_dir, "documents")
-    sig = minhash_table(
-        d.select("doc_id", "text"), "doc_id", "text", k_hashes=4,
-        keep_all_ids=True,
+    base = d.select(
+        "doc_id",
+        word_shingles(F.col("text"), 3).alias("sh"),
+        simhash16(F.col("text")).alias("simhash"),
     )
-    sims = d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
-    return sig.join(sims, "doc_id").select(
+    return add_minhash(base, "sh", k_hashes=4).select(
         "doc_id", "mh0", "mh1", "mh2", "mh3", "simhash"
     )
 
@@ -101,7 +105,9 @@ def q_minhash_lsh_jaccard(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     # shingles computed once, shared by the signature and verification
     # stages; localCheckpoint blocks are GC-cleaned (persist leaked
-    # cache entries across the 50-query bench session)
+    # cache entries across the 50-query bench session).  Not
+    # fault-tolerant — see the trade-off note in
+    # operators/dedup.lsh_candidate_pairs
     sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(
         d, "doc_id", "text", k_hashes=8, bands=4, shingles=sh
@@ -156,7 +162,8 @@ def q_embedding_neardup(spark, sf_dir):
     )
     # materialize the assignment once for both self-join sides;
     # localCheckpoint blocks are GC-cleaned (a bare persist leaks cache
-    # entries across the 50-query bench session)
+    # entries across the 50-query bench session); fault-tolerance
+    # trade-off documented in operators/dedup.lsh_candidate_pairs
     assigned = (
         e.join(cells, "vec_id")
         .select("vec_id", "e", "nrm", "cell")

@@ -71,9 +71,13 @@ def _base_hash(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
 
 
-def _mix(h: Column, i: int) -> Column:
+def _mix_lambda(i: int):
+    """Closure factory for use inside higher-order lambdas.  MUST be a
+    factory — a ``lambda h, i=i: ...`` default param changes the lambda's
+    arity and pyspark would pass the ELEMENT INDEX as ``i`` (silently
+    corrupting the salts)."""
     a, b = _MH_AB[i]
-    return F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_P))
+    return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_P))
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -98,6 +102,36 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
 
 
+def add_minhash(
+    df: DataFrame, sh_col: str = "sh", k_hashes: int = 8, prefix: str = "mh"
+) -> DataFrame:
+    """Append map-side MinHash columns ``{prefix}0..{prefix}{k-1}`` to a
+    frame carrying a shingle-array column — NO explode, NO shuffle.
+
+    One ``transform`` pass computes the base md5 per shingle (the
+    expensive part); the k signatures are ``array_min`` over cheap
+    integer mixes of that hashed array.  The chained two-projection
+    shape is load-bearing: the hashed-array alias is non-cheap and
+    referenced k times, so CollapseProject keeps the barrier and the
+    md5 work stays O(shingles), not O(shingles · k).  (An earlier
+    explode+groupBy variant had the same md5 economy but paid a shuffle
+    of every exploded shingle — pure map-side wins at any scale and the
+    per-doc work is bounded by document length.)
+
+    Docs with an empty shingle array get null signatures
+    (``array_min([]) = null``)."""
+    hashed = df.withColumn("_hs", F.transform(sh_col, _base_hash))
+    return hashed.select(
+        *df.columns,
+        *[
+            F.array_min(F.transform("_hs", _mix_lambda(i))).alias(
+                f"{prefix}{i}"
+            )
+            for i in range(k_hashes)
+        ],
+    )
+
+
 def minhash_table(
     df: DataFrame,
     id_col: str,
@@ -107,32 +141,23 @@ def minhash_table(
     shingles: DataFrame | None = None,
     keep_all_ids: bool = False,
 ) -> DataFrame:
-    """Per-doc MinHash signature table (id, mh0..mh{k-1}).
+    """Per-doc MinHash signature table (id, mh0..mh{k-1}) — map-side
+    (see ``add_minhash``); same md5/integer-mix constants as every prior
+    scheme, so signature VALUES (and the DuckDB oracle) are unchanged.
 
-    Explode shingles → ONE base md5 per shingle (a Project barrier the
-    optimizer won't inline: the alias is non-cheap and used k times) →
-    k integer-mix variants inside a map-side-combined ``min`` aggregate.
-    The shuffle carries one partial row per (doc, partition), so at
-    100 TB the signature costs one narrow shuffle of n_docs rows; the
-    md5 work is O(shingles), not O(shingles · k) (the former per-salt
-    md5 scheme cold-compiled ~8 md5 expression trees and dominated the
-    driver's single-shot LSH timing).
-
-    ``keep_all_ids``: left-join back to the id universe so docs with no
-    shingles (< shingle_k tokens) still get a (null-signature) row."""
+    ``keep_all_ids``: keep docs with no shingles (< shingle_k tokens) as
+    null-signature rows; default drops them (the historical
+    explode+groupBy semantics, which LSH banding relies on)."""
     src = (
         shingles
         if shingles is not None
         else shingle_table(df, id_col, text_col, shingle_k)
     )
-    ex = src.select(id_col, F.explode("sh").alias("_s")).select(
-        id_col, _base_hash(F.col("_s")).alias("_h")
+    sig = add_minhash(src, "sh", k_hashes).select(
+        id_col, *[f"mh{i}" for i in range(k_hashes)]
     )
-    sig = ex.groupBy(id_col).agg(
-        *[F.min(_mix(F.col("_h"), i)).alias(f"mh{i}") for i in range(k_hashes)]
-    )
-    if keep_all_ids:
-        sig = df.select(id_col).join(sig, id_col, "left")
+    if not keep_all_ids:
+        sig = sig.filter(F.col("mh0").isNotNull())
     return sig
 
 
@@ -178,7 +203,14 @@ def lsh_candidate_pairs(
     # (bands rows per doc, two narrow columns) and both join sides read
     # it.  localCheckpoint (not persist): checkpoint blocks are freed
     # when the frame is GC'd, so a long-lived session running the whole
-    # catalog doesn't accumulate leaked cache entries.
+    # catalog doesn't accumulate leaked cache entries.  Trade-off (applies
+    # to every localCheckpoint in this repo): lineage is truncated to
+    # executor-LOCAL blocks, which are not fault-tolerant — on a real
+    # cluster an executor loss fails the query instead of recomputing.
+    # Right for interactive/ad-hoc queries (rerun is cheap and bounded);
+    # a long batch job on flaky infra should swap in reliable
+    # checkpointing (sc.setCheckpointDir + .checkpoint()) at the cost of
+    # a distributed-FS write.
     keyed = sig.select(
         F.col(id_col), F.explode(band_keys).alias("band_key")
     ).localCheckpoint(eager=True)

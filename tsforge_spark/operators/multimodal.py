@@ -225,7 +225,9 @@ def media_embedding_neardup(
     uses (cell is the blocking/partition key; no all-pairs join)."""
     from tsforge_spark.operators.similarity import assign_cells, cosine
 
-    # localCheckpoint (not persist): blocks are GC-cleaned, no cache
+    # localCheckpoint (not persist): blocks are GC-cleaned, no cache;
+    # not fault-tolerant (executor loss fails the query) — trade-off
+    # documented in operators/dedup.lsh_candidate_pairs
     # leak across a long-lived session
     feats = decode_image_features(df, dim=dim, fake=fake).withColumn(
         "feature", F.col("feature").cast("array<double>")

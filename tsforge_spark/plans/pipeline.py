@@ -250,7 +250,13 @@ class RollupPipeline:
                 .collect()
             ]
             delta_convs = None
-            if per_conv.count() <= self.blob_conv_prune_limit:
+            # the count() is its own Spark action — only pay for it when
+            # conv-pruning is enabled (default 0 = the comparison could
+            # never pass anyway)
+            if (
+                self.blob_conv_prune_limit > 0
+                and per_conv.count() <= self.blob_conv_prune_limit
+            ):
                 delta_convs = [
                     r["conv_id"]
                     for r in per_conv.select("conv_id").collect()
