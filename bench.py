@@ -202,7 +202,37 @@ def run_compute_probe(cores: int, store_dir: str, master: str | None = None) -> 
         spark.stop()
 
 
+def _warm_jvm(spark, sf_dir: str) -> None:
+    """Untimed steady-state warm-up: exercise the common execution
+    machinery (parquet scan, hash agg, sort, window, shuffle join,
+    higher-order exprs, codegen+JIT infrastructure) once before the
+    timed loop.  Root cause (ROUND4_NOTES.md): per-query timings vary
+    25-90% with the JVM's JIT warm-up HISTORY — a cold-process catalog
+    run measures 48.8s where the same session's second pass measures
+    25.2s — so without a fixed warm-up the numbers reflect whatever jobs
+    happened to run earlier in the process, not the queries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.sum("n")
+    ).collect()
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev.select("user_id", "ts", F.lag("ts").over(w).alias("p")).filter(
+        F.col("p").isNotNull()
+    ).count()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.select(
+        F.array_min(
+            F.transform(F.split("text", " "), lambda t: F.length(t))
+        ).alias("m")
+    ).join(d.select("doc_id").limit(10), how="cross").count()
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
+    import gc
+
     from tsforge_spark.catalog import QUERIES
     from tsforge_spark.session import get_spark
 
@@ -210,12 +240,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
                       shuffle_partitions=max(CPUS, 8))
     timings: dict[str, float] = {}
     try:
+        _warm_jvm(spark, sf_dir)
         for name, fn in QUERIES.items():
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # force full execution without driver transfer
             timings[name] = round(time.time() - t0, 3)
             _ = n
+            # release this query's localCheckpoint blocks promptly (py4j
+            # finalizers only run on python GC; accumulation costs ~5%)
+            gc.collect()
     finally:
         spark.stop()
     return timings

@@ -192,7 +192,9 @@ class RollupPipeline:
             dim, df[col_name] == dim["_aff_day"], "left_semi"
         )
 
-    def _prepare(self, delta: DataFrame, affected_days=None) -> DataFrame:
+    def _prepare(
+        self, delta: DataFrame, affected_days=None, need_days: bool = False
+    ) -> DataFrame:
         """Clean + dedup + canonical bucketed/ordered layout.
 
         Two key-only probes run CONCURRENTLY (narrow column-pruned scans
@@ -205,9 +207,17 @@ class RollupPipeline:
           Hashing shrinks the probe shuffle to 8-byte keys; a hash
           collision can only cause a false *positive* verdict (an
           unnecessary dropDuplicates pass), never a wrong result.
-        - hot-key detection via a map-side-combined per-conv count; the
-          hot set is small by definition and travels back as literals,
-          replacing the broadcast join inside salted_layout."""
+        - a fused (conv, day) aggregate — ONE delta scan feeds the
+          hot-key set, the per-bucket lineage counts, AND (when
+          ``need_days``) the affected-day set that run() previously paid
+          a separate scan for; the cached partial frame is ~n_convs
+          rows, so the derivations are trivial follow-up jobs.
+
+        Affected days derive from the CLEAN (pre-dedup) delta: a row
+        whose key columns are null never lands in any store, so its day
+        needs no heal; rows dropped by DEDUP still contribute their days
+        (the crash-replay anchor — a replayed snapshot whose rows were
+        already ingested must still recompute the days it touched)."""
         clean = delta.dropna(subset=["conv_id", "turn_idx", "ts"])
 
         def _dup_probe() -> bool:
@@ -224,63 +234,103 @@ class RollupPipeline:
             )
 
         def _hot_probe() -> tuple:
-            # one narrow aggregate, three tiny derivations off its
-            # ~n_convs rows: the hot set, per-bucket row counts
-            # (pre-dedup — exact on contract-clean input; the rare dirty
-            # case falls back to a readback count in run()), and — for
-            # SMALL deltas — the delta's conversation-id set, which lets
-            # the blob stage re-encode only changed conversations'
-            # segments instead of every conversation in an affected
-            # month chunk
-            per_conv = clean.groupBy("conv_id").count().persist()
-            hots = [
-                r["conv_id"]
-                for r in per_conv.filter(
-                    F.col("count") > self.hot_threshold
-                ).collect()
-            ]
-            buckets = [
-                (int(r["bucket_id"]), int(r["rows"]))
-                for r in per_conv.groupBy(
+            # ONE action at the bucket grain carries everything bounded:
+            # per-bucket row sums (lineage), the hot-conversation ids
+            # riding along as collect_list(when(count>thr)) — nulls are
+            # skipped, so the list holds only hots, small by definition
+            # — and the per-bucket conv count (for the conv-prune gate).
+            # Job fixed cost dominates small deltas, so fewer+fused
+            # actions beat a cached frame with per-derivation jobs.
+            per_conv = clean.groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("count")
+            )
+            rows = (
+                per_conv.groupBy(
                     F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
                     .cast("int")
                     .alias("bucket_id")
                 )
-                .agg(F.sum("count").alias("rows"))
+                .agg(
+                    F.sum("count").alias("rows"),
+                    F.collect_list(
+                        F.when(
+                            F.col("count") > self.hot_threshold,
+                            F.col("conv_id"),
+                        )
+                    ).alias("hots"),
+                    F.count(F.lit(1)).alias("n_convs"),
+                )
                 .collect()
-            ]
+            )
+            hots = [c for r in rows for c in r["hots"]]
+            buckets = sorted(
+                (int(r["bucket_id"]), int(r["rows"])) for r in rows
+            )
             delta_convs = None
-            # the count() is its own Spark action — only pay for it when
-            # conv-pruning is enabled (default 0 = the comparison could
-            # never pass anyway)
             if (
                 self.blob_conv_prune_limit > 0
-                and per_conv.count() <= self.blob_conv_prune_limit
+                and sum(int(r["n_convs"]) for r in rows)
+                <= self.blob_conv_prune_limit
             ):
                 delta_convs = [
                     r["conv_id"]
                     for r in per_conv.select("conv_id").collect()
                 ]
-            per_conv.unpersist()
             return hots, buckets, delta_convs
+
+        def _days_probe() -> list:
+            # map-side distinct to a handful of day rows; runs
+            # concurrently with the bucket probe
+            return [
+                r["_d"]
+                for r in clean.select(F.to_date("ts").alias("_d"))
+                .distinct()
+                .collect()
+            ]
 
         from concurrent.futures import ThreadPoolExecutor
 
-        if self.unique_key_check == "trust":
-            # contract-clean input (see __init__): skip the in-delta
-            # verification probe; history dedup still applies in run()
+        # The probe scan is only worth paying when something consumes
+        # its output: dup verification (probe mode), the affected-day
+        # set (incremental runs), or the conv-prune id list.  A
+        # trust-mode FIRST run needs none of those — lineage counts come
+        # from the write's parquet footers, days from the partition
+        # dirs, and hot-conversation detection happens INLINE in
+        # salted_layout (hot_ids=None → a column-pruned self-aggregate +
+        # broadcast left join inside the write job: no separate driver
+        # round-trip, pipelined with the scan it already does).
+        need_probe = (
+            self.unique_key_check == "probe"
+            or need_days
+            or self.blob_conv_prune_limit > 0
+        )
+        if not need_probe:
             has_dups = False
-            hot_ids, probe_buckets, delta_convs = _hot_probe()
+            hot_ids, probe_buckets, delta_convs, days = None, [], None, None
         else:
-            with ThreadPoolExecutor(2) as ex:
-                f_dup = ex.submit(_dup_probe)
+            # independent probes run CONCURRENTLY from driver threads
+            # (each is a narrow column-pruned scan; FAIR scheduling
+            # interleaves their tasks so wall ≈ the slowest one)
+            with ThreadPoolExecutor(3) as ex:
+                f_dup = (
+                    ex.submit(_dup_probe)
+                    if self.unique_key_check == "probe"
+                    else None
+                )
+                f_days = ex.submit(_days_probe) if need_days else None
                 f_hot = ex.submit(_hot_probe)
-                has_dups = f_dup.result()
+                # trust mode: contract-clean input (see __init__) — no
+                # in-delta verification; history dedup still applies
+                has_dups = f_dup.result() if f_dup is not None else False
+                days = f_days.result() if f_days is not None else None
                 hot_ids, probe_buckets, delta_convs = f_hot.result()
+        if need_days and affected_days is None:
+            affected_days = days
         self._probe_info = {
             "has_dups": has_dups,
             "buckets": probe_buckets,
             "delta_convs": delta_convs,
+            "days": days,
         }
         if has_dups:
             clean = clean.dropDuplicates(["conv_id", "turn_idx"])
@@ -303,6 +353,12 @@ class RollupPipeline:
             ).join(
                 keys, ["bucket_id", "conv_id", "turn_idx"], "left_anti"
             ).drop("bucket_id")
+        # the content-final (cleaned, deduped, anti-joined) frame BEFORE
+        # physical layout: run()'s first-run path rolls the 1m tier up
+        # from this directly — a groupBy needs no bucketed/sorted layout,
+        # so the rollup can run CONCURRENTLY with the store write instead
+        # of waiting to read the store back
+        self._clean_for_tier = clean
         # canonical layout: hash buckets + explicit hot-conversation salt
         # (operators/skew.py) + stable (conv_id, ts, turn_idx) order
         from tsforge_spark.operators.skew import salted_layout
@@ -405,6 +461,99 @@ class RollupPipeline:
             os.makedirs(target, exist_ok=True)
             os.replace(src, dst)
 
+    def _encode_and_commit_blobs(
+        self,
+        tiers: list,
+        staging_name: str,
+        affected_days,
+        prune_convs: bool,
+        delta_convs,
+    ) -> int:
+        """Re-encode the affected (tier, segment) blob chunks for a
+        GROUP of tiers and commit them (stage → atomic per-partition
+        move).  Returns bytes written this call.
+
+        All tiers in the group union into ONE write job (fewer
+        fixed-cost job launches; blobs derive from tier tables, so no
+        extra staging materialization is needed).  Bytes written ride
+        the write job as an observation metric (one cheap sum —
+        Iceberg: commit manifest statistics); a readback scan, even
+        partition-pruned, would be a whole extra job.  Staging + atomic
+        per-partition moves (not a direct dynamic overwrite): the
+        conv-pruned path READS the blob store it replaces, so the swap
+        must happen only after the carried bytes are safely rewritten —
+        each seg_day partition flips old→new in one os.replace.
+
+        conv-pruned fast path (``prune_convs``): only DELTA
+        conversations' tier cells can have changed, so when the delta
+        is small (daily batch) encode just their segments and carry the
+        untouched conversations' existing blobs over with a bytes-level
+        read (no decode, no re-encode) — a month chunk at 1h/1d grain
+        otherwise re-encodes every conversation in the store for a 2%
+        delta."""
+        import datetime as _dt
+
+        from pyspark.sql import Observation
+
+        def _py_trunc(d: _dt.date, unit: str) -> _dt.datetime:
+            # Python twin of Spark date_trunc on a date (no Spark jobs
+            # for what is a handful of driver-side dates)
+            if unit == "month":
+                d = d.replace(day=1)
+            elif unit == "week":
+                d = d - _dt.timedelta(days=d.weekday())
+            return _dt.datetime(d.year, d.month, d.day)
+
+        all_blobs = None
+        for tier in tiers:
+            seg_unit = SEGMENT_TRUNC[tier]
+            tier_df = self.spark.read.parquet(self.tier_path(tier))
+            seg_of_day = sorted(
+                {_py_trunc(d, seg_unit) for d in affected_days}
+            )
+            affected = tier_df.filter(
+                F.date_trunc(seg_unit, F.col("bucket")).isin(seg_of_day)
+            )
+            if prune_convs:
+                affected = affected.filter(
+                    F.col("conv_id").isin(delta_convs)
+                )
+            blobs = encode_tier_blobs(affected.drop("day"), tier, self.measures)
+            blobs = blobs.withColumn("seg_day", F.to_date("segment")).withColumn(
+                "tier_part", F.lit(tier)
+            )
+            if prune_convs:
+                seg_days = sorted({s.date() for s in seg_of_day})
+                carried = (
+                    self.spark.read.parquet(self.blobs_path)
+                    .filter(
+                        (F.col("tier_part") == tier)
+                        & F.col("seg_day").isin(seg_days)
+                        & ~F.col("conv_id").isin(delta_convs)
+                    )
+                    .withColumn("tier_part", F.lit(tier))
+                )
+                blobs = blobs.unionByName(
+                    carried.select(*blobs.columns), allowMissingColumns=False
+                )
+            all_blobs = blobs if all_blobs is None else all_blobs.unionByName(blobs)
+        obs_blobs = Observation()
+        all_blobs = all_blobs.observe(
+            obs_blobs, F.sum("blob_bytes").alias("bytes")
+        )
+        blob_staging = self._stage_dir(staging_name)
+        shutil.rmtree(blob_staging, ignore_errors=True)
+        all_blobs.write.mode("overwrite").partitionBy(
+            "tier_part", "seg_day"
+        ).parquet(blob_staging)
+        for tier in tiers:
+            self._replace_partitions_by_move(
+                os.path.join(blob_staging, f"tier_part={tier}"),
+                os.path.join(self.blobs_path, f"tier_part={tier}"),
+            )
+        shutil.rmtree(blob_staging, ignore_errors=True)
+        return int(obs_blobs.get["bytes"] or 0)
+
     # ---- main entry ----
     def run(self) -> dict:
         """Process every snapshot after the checkpoint; no-op when
@@ -425,29 +574,17 @@ class RollupPipeline:
         job_id = new_job_id()
         metrics = MetricsLog(os.path.join(self.out, "metrics.jsonl"), job_id)
 
-        from pyspark.sql import Observation
-
         delta = self.store.read(self.spark, after=after, upto=last)
         first_run = after == 0 and not os.path.exists(self.turns_path)
-        if first_run:
-            # no history → the prepared delta's days == the raw delta's
-            # days, so they come FREE from the write-job observation below
-            affected_days = None
-        else:
-            # Affected event days come from the RAW delta — not the
-            # deduped one — so a re-run after a crash (turns already
-            # appended, tiers not yet rebuilt) still knows which day
-            # partitions to heal even though dedup reduces the delta to
-            # zero rows.  This is the crash-safety anchor: every stage
-            # below is an idempotent recompute over these days.
-            # (Incremental deltas are small; this scan is cheap.)
-            affected_days = [
-                r["d"]
-                for r in delta.dropna(subset=["ts"])
-                .select(F.to_date("ts").alias("d"))
-                .distinct()
-                .collect()
-            ]
+        # Affected event days: fused into _prepare's probe aggregate on
+        # incremental runs (one delta scan serves hot keys + lineage
+        # counts + days — the separate day scan was a whole extra job);
+        # on first runs they come free from the partition dirs the store
+        # write creates.  Days derive from the PRE-dedup delta, so a
+        # crash replay (turns already appended, tiers not yet rebuilt)
+        # still knows which day partitions to heal even though dedup
+        # reduces the delta to zero rows — the crash-safety anchor:
+        # every stage below is an idempotent recompute over these days.
 
         # Materialize the prepared delta to immutable staging files FIRST:
         # `_prepare` anti-joins against the turns store, so once we append
@@ -456,24 +593,68 @@ class RollupPipeline:
         # self-referential lineage (on Iceberg, snapshot isolation of the
         # MERGE does this for free).
         ingest_staging = self._stage_dir("ingest")
-        prepared = self._prepare(delta, affected_days).withColumn(
-            "day", F.to_date("ts")
-        )
+        prepared = self._prepare(
+            delta, need_days=not first_run
+        ).withColumn("day", F.to_date("ts"))
+        mark("probe")  # _prepare's eager probe jobs (hot keys/buckets/days)
+        affected_days = self._probe_info.get("days")
         if first_run:
             # no history → no anti-join self-reference, so the
             # turns-store write IS the materialization (saves a full
-            # staging write).  Row counts and the affected-day set then
-            # come from the FILESYSTEM facts the write just created —
-            # partition dir names + parquet footers (Iceberg: the
-            # commit's manifest statistics).  An earlier variant rode
-            # these on the write as observe() metrics; collect_set over
-            # every row is an interpreted aggregate and measurably
-            # drags the write job.
+            # staging write), and the 1m tier rolls up from the SAME
+            # content-final frame CONCURRENTLY — the write is IO-bound,
+            # the rollup CPU-bound, and FAIR scheduling interleaves
+            # their tasks (a tier rebuilt from the store would read the
+            # store back AFTER the write finished; on a first run the
+            # store content IS the prepared delta, so deriving the tier
+            # from the same lineage is bit-identical).  Row counts and
+            # the affected-day set then come from the FILESYSTEM facts
+            # the write just created — partition dir names + parquet
+            # footers (Iceberg: the commit's manifest statistics).
             import datetime as _dt2
+            import threading
 
-            prepared.write.mode("overwrite").partitionBy(
-                "day", "bucket_id"
-            ).parquet(self.turns_path)
+            timings: dict[str, float] = {}
+            errors: list[BaseException] = []
+
+            def _t_write() -> None:
+                t0 = time.time()
+                try:
+                    prepared.write.mode("overwrite").partitionBy(
+                        "day", "bucket_id"
+                    ).parquet(self.turns_path)
+                except BaseException as e:  # noqa: BLE001 — rethrown below
+                    errors.append(e)
+                timings["write"] = time.time() - t0
+
+            def _t_tier() -> None:
+                t0 = time.time()
+                try:
+                    upd = rollup_transcripts(
+                        self._clean_for_tier.select(
+                            "conv_id", "role", "tool", "ts", "text"
+                        ),
+                        "1m",
+                    ).withColumn("day", F.to_date("bucket"))
+                    self._merge_partitions(
+                        upd, self.tier_path("1m"), "day", "t1m"
+                    )
+                except BaseException as e:  # noqa: BLE001 — rethrown below
+                    errors.append(e)
+                timings["tier"] = time.time() - t0
+
+            t_overlap0 = time.time()
+            threads = [
+                threading.Thread(target=_t_write),
+                threading.Thread(target=_t_tier),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errors:
+                raise errors[0]
+            overlap_wall = time.time() - t_overlap0
             counts, n_turns = self._staging_footer_counts(self.turns_path)
             affected_days = sorted(
                 _dt2.date.fromisoformat(sub.split("=", 1)[1])
@@ -492,7 +673,19 @@ class RollupPipeline:
                 "day", "bucket_id"
             ).parquet(ingest_staging)
             counts, n_turns = self._staging_footer_counts(ingest_staging)
-        mark("prepare")
+        if first_run:
+            # overlapped stage accounting: prepare = the store write's
+            # own duration, tier_1m = the rollup's own duration; their
+            # shared wall is overlap_wall (< prepare + tier_1m when the
+            # interleave pays off).  mark()'s running clock is advanced
+            # by the barrier wall so the stage sum still reconciles.
+            stage_sec["prepare"] = round(timings.get("write", 0.0), 2)
+            stage_sec["tier_1m"] = round(timings.get("tier", 0.0), 2)
+            stage_sec["overlap_wall"] = round(overlap_wall, 2)
+            mark("_overlap")
+            stage_sec.pop("_overlap", None)
+        else:
+            mark("prepare")
         metrics.log("ingest", rows=n_turns, snapshots=[after + 1, last])
 
         if not affected_days:
@@ -528,28 +721,70 @@ class RollupPipeline:
         # per-day recompute — rather than merging delta partials into old
         # cells — makes every run idempotent: replaying the same snapshot
         # (crash recovery, duplicate batch) converges to the same tiers.
+        # (On a first run the 1m tier was already built concurrently with
+        # the store write above — store content == prepared delta, same
+        # lineage, bit-identical cells; tests diff the two paths.)
         day_filter = self._day_filter("day", affected_days)
-        turns_aff = day_filter(self.spark.read.parquet(self.turns_path))
-        # rebuild from (role, tool, ts, text_len) only — the text payload
-        # never leaves the scan (parquet column pruning)
-        upd_1m = rollup_transcripts(
-            turns_aff.select("conv_id", "role", "tool", "ts", "text_len"),
-            "1m",
-            text_len_col="text_len",
-        ).withColumn("day", F.to_date("bucket"))
-        self._merge_partitions(upd_1m, self.tier_path("1m"), "day", "t1m")
-        mark("tier_1m")
+        if not first_run:
+            turns_aff = day_filter(self.spark.read.parquet(self.turns_path))
+            # rebuild from (role, tool, ts, text_len) only — the text
+            # payload never leaves the scan (parquet column pruning)
+            upd_1m = rollup_transcripts(
+                turns_aff.select("conv_id", "role", "tool", "ts", "text_len"),
+                "1m",
+                text_len_col="text_len",
+            ).withColumn("day", F.to_date("bucket"))
+            self._merge_partitions(upd_1m, self.tier_path("1m"), "day", "t1m")
+            mark("tier_1m")
         metrics.log("tier_1m", affected_days=len(affected_days))
 
-        # ---- 1h / 1d tiers: re-fold affected days from the finer tier.
-        # 1d folds from the WRITTEN 1h partitions (a tiny read-back),
-        # not from the 1h plan — recomputing the 1h aggregate inside the
-        # 1d branch (or fusing both tiers into one GROUPING SETS job,
-        # which Expands every 1m cell twice) doubles the shuffled
-        # fine-cell volume; chained folds shuffle 1x fine cells + 1x
-        # hour cells, the minimum.  (fold_tiers_multi in operators/
-        # rollup.py is the tested single-job alternative for setups
-        # where job-launch cost dominates shuffle volume.)
+        # ---- 1h / 1d folds ∥ 1m blob encode.  The 1m tier is final as
+        # soon as its merge commits, and the 1m blobs (the bulk of the
+        # encode work — 60× the cells of 1h) depend on NOTHING the folds
+        # produce, so a second driver thread encodes+commits them while
+        # the main thread folds 1h/1d; FAIR scheduling interleaves the
+        # two jobs' tasks.  1h/1d blobs then encode after their tiers
+        # commit.  Same commit protocol per group (stage → atomic
+        # per-partition move), so crash semantics are unchanged — a
+        # crash between the two blob commits leaves some tiers' blobs
+        # stale, healed by the replay recompute like any mid-commit
+        # crash.
+        #
+        # Fold topology: 1d folds from the WRITTEN 1h partitions (a tiny
+        # read-back), not from the 1h plan — recomputing the 1h
+        # aggregate inside the 1d branch (or fusing both tiers into one
+        # GROUPING SETS job, which Expands every 1m cell twice) doubles
+        # the shuffled fine-cell volume; chained folds shuffle 1x fine
+        # cells + 1x hour cells, the minimum.  (fold_tiers_multi in
+        # operators/rollup.py is the tested single-job alternative for
+        # setups where job-launch cost dominates shuffle volume.)
+        delta_convs = self._probe_info.get("delta_convs")
+        prune_convs = (
+            delta_convs is not None
+            and not first_run
+            and os.path.exists(self.blobs_path)
+        )
+        blob_timings: dict[str, float] = {}
+        blob_errors: list[BaseException] = []
+        blob_bytes_box = {"1m": 0, "hd": 0}
+
+        def _t_blob_1m() -> None:
+            t0 = time.time()
+            try:
+                blob_bytes_box["1m"] = self._encode_and_commit_blobs(
+                    ["1m"], "blobs_1m", affected_days, prune_convs,
+                    delta_convs,
+                )
+            except BaseException as e:  # noqa: BLE001 — rethrown below
+                blob_errors.append(e)
+            blob_timings["blob_1m"] = time.time() - t0
+
+        import threading as _threading
+
+        t_fold0 = time.time()
+        th_blob = _threading.Thread(target=_t_blob_1m)
+        th_blob.start()
+
         upd_1m = day_filter(self.spark.read.parquet(self.tier_path("1m")))
         upd_1h = fold_tier(upd_1m.drop("day"), "1h").withColumn(
             "day", F.to_date("bucket")
@@ -562,93 +797,20 @@ class RollupPipeline:
             "day", F.to_date("bucket")
         )
         self._merge_partitions(upd_1d, self.tier_path("1d"), "day", "t1d")
-        mark("tier_fold")
+        fold_sec = time.time() - t_fold0
+        th_blob.join()
+        if blob_errors:
+            raise blob_errors[0]
+        blob_bytes_box["hd"] = self._encode_and_commit_blobs(
+            ["1h", "1d"], "blobs_hd", affected_days, prune_convs,
+            delta_convs,
+        )
+        stage_sec["tier_fold"] = round(fold_sec, 2)
+        stage_sec["blob_1m"] = round(blob_timings.get("blob_1m", 0.0), 2)
+        mark("_fold_blob")
+        stage_sec["blobs"] = stage_sec.pop("_fold_blob") - stage_sec["tier_fold"]
         metrics.log("tier_fold", tiers=["1h", "1d"])
-
-        # ---- blobs: re-encode affected (tier, segment) chunks — all three
-        # tiers unioned into ONE write job (fewer fixed-cost job launches;
-        # blobs derive from tier tables, so no staging needed)
-        import datetime as _dt
-
-        def _py_trunc(d: _dt.date, unit: str) -> _dt.datetime:
-            # Python twin of Spark date_trunc on a date (no Spark jobs for
-            # what is a handful of driver-side dates)
-            if unit == "month":
-                d = d.replace(day=1)
-            elif unit == "week":
-                d = d - _dt.timedelta(days=d.weekday())
-            return _dt.datetime(d.year, d.month, d.day)
-
-        # conv-pruned fast path: only DELTA conversations' tier cells can
-        # have changed, so when the delta is small (daily batch) encode
-        # just their segments and carry the untouched conversations'
-        # existing blobs over with a bytes-level read (no decode, no
-        # re-encode) — a month chunk at 1h/1d grain otherwise re-encodes
-        # every conversation in the store for a 2% delta
-        delta_convs = self._probe_info.get("delta_convs")
-        prune_convs = (
-            delta_convs is not None
-            and not first_run
-            and os.path.exists(self.blobs_path)
-        )
-        all_blobs = None
-        for tier in TIERS:
-            seg_unit = SEGMENT_TRUNC[tier]
-            tier_df = self.spark.read.parquet(self.tier_path(tier))
-            seg_of_day = sorted(
-                {_py_trunc(d, seg_unit) for d in affected_days}
-            )
-            affected = tier_df.filter(
-                F.date_trunc(seg_unit, F.col("bucket")).isin(seg_of_day)
-            )
-            if prune_convs:
-                affected = affected.filter(
-                    F.col("conv_id").isin(delta_convs)
-                )
-            blobs = encode_tier_blobs(affected.drop("day"), tier, self.measures)
-            blobs = blobs.withColumn("seg_day", F.to_date("segment")).withColumn(
-                "tier_part", F.lit(tier)
-            )
-            if prune_convs:
-                seg_days = sorted({s.date() for s in seg_of_day})
-                carried = (
-                    self.spark.read.parquet(self.blobs_path)
-                    .filter(
-                        (F.col("tier_part") == tier)
-                        & F.col("seg_day").isin(seg_days)
-                        & ~F.col("conv_id").isin(delta_convs)
-                    )
-                    .withColumn("tier_part", F.lit(tier))
-                )
-                blobs = blobs.unionByName(
-                    carried.select(*blobs.columns), allowMissingColumns=False
-                )
-            all_blobs = blobs if all_blobs is None else all_blobs.unionByName(blobs)
-        # bytes written THIS run ride the write job as an observation
-        # metric (one cheap sum — Iceberg: commit manifest statistics);
-        # a readback scan, even partition-pruned, is a whole extra job.
-        # Staging + atomic per-partition moves (not a direct dynamic
-        # overwrite): the conv-pruned path READS the blob store it
-        # replaces, so the swap must happen only after the carried bytes
-        # are safely rewritten — each seg_day partition flips old→new in
-        # one os.replace.
-        obs_blobs = Observation()
-        all_blobs = all_blobs.observe(
-            obs_blobs, F.sum("blob_bytes").alias("bytes")
-        )
-        blob_staging = self._stage_dir("blobs")
-        shutil.rmtree(blob_staging, ignore_errors=True)
-        all_blobs.write.mode("overwrite").partitionBy(
-            "tier_part", "seg_day"
-        ).parquet(blob_staging)
-        for tier in TIERS:
-            self._replace_partitions_by_move(
-                os.path.join(blob_staging, f"tier_part={tier}"),
-                os.path.join(self.blobs_path, f"tier_part={tier}"),
-            )
-        shutil.rmtree(blob_staging, ignore_errors=True)
-        blob_bytes_written = int(obs_blobs.get["bytes"] or 0)
-        mark("blobs")
+        blob_bytes_written = blob_bytes_box["1m"] + blob_bytes_box["hd"]
         metrics.log("blobs", blob_bytes_written=int(blob_bytes_written))
 
         shutil.rmtree(ingest_staging, ignore_errors=True)

@@ -23,6 +23,17 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Parquet scans: keep row groups aligned with partition targets.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Partition discovery: below this many paths the driver lists
+    # directories itself instead of launching a distributed listing job.
+    # A (day, bucket)-partitioned store has ~10^3 dirs; on a POSIX fs a
+    # sequential scandir takes ~10ms where the listing JOB's fixed cost
+    # is ~3s PER READ (measured: 3.2s -> 0.25s read-init), and the
+    # pipeline opens its stores several times per run.  On a real
+    # deployment the table format's manifests (Iceberg) replace listing
+    # entirely; object-store paths without manifests should keep the
+    # distributed listing (lower threshold) because remote LIST calls
+    # are the bottleneck there, not job launch.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "8192",
     # zstd: ~3x smaller text-heavy writes; trades non-scaling disk IO for
     # CPU, which parallelizes.  Level 1 (default 3): the store write is
     # compression-CPU-bound — measured 23% faster at identical size on
@@ -35,6 +46,11 @@ ENGINE_CONFS: dict[str, str] = {
     # On real object stores the job would use an atomic table format
     # (Iceberg) instead.
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # FAIR job scheduling: the pipeline overlaps independent jobs from
+    # separate driver threads (store write ∥ 1m rollup — IO-bound write
+    # tasks interleave with CPU-bound agg tasks); FIFO would hold the
+    # second job's tasks until the first job's backlog drains.
+    "spark.scheduler.mode": "FAIR",
     # Deterministic session timezone — the engine contract is UTC µs.
     "spark.sql.session.timeZone": "UTC",
     # Quiet the UI in the sandbox; harmless on a cluster.
