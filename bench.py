@@ -230,6 +230,55 @@ def _warm_jvm(spark, sf_dir: str) -> None:
     ).join(d.select("doc_id").limit(10), how="cross").count()
 
 
+def run_serve(cores: int, work_root: str) -> dict:
+    """Serving-path bench — the READ side of the codec that retention /
+    compaction trade-offs act on: partition-pruned blob decode
+    (tier_part + seg_day dirs → Arrow batches → vectorized
+    decode_series), reported as decoded points/sec.  Two shapes:
+    one day of 1m blobs (a dashboard backfill) and the whole 1h store
+    (a coarse-tier export).  Best of 2 against box variance."""
+    from pyspark.sql import functions as F
+
+    from tsforge_spark.codec.blobs import decode_blobs
+    from tsforge_spark.session import get_spark
+
+    blobs = os.path.join(work_root, "a", f"out_{cores}", "blobs")
+    day_dirs = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(os.path.join(blobs, "tier_part=1m"))
+        if d.startswith("seg_day=")
+    )
+    day = day_dirs[len(day_dirs) // 2]
+    spark = get_spark(f"tsforge-serve-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores, 8))
+    try:
+        res: dict = {}
+        for label, tier, day_flt in (
+            ("decode_1m_one_day", "1m", day),
+            ("decode_1h_full", "1h", None),
+        ):
+            best = None
+            n = 0
+            for _ in range(2):
+                t0 = time.time()
+                df = spark.read.parquet(blobs).filter(
+                    F.col("tier_part") == tier
+                )
+                if day_flt is not None:
+                    df = df.filter(F.col("seg_day") == day_flt)
+                n = decode_blobs(df).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            res[label] = {
+                "rows": int(n),
+                "sec": round(best, 2),
+                "rows_per_sec": round(n / best, 1),
+            }
+        return res
+    finally:
+        spark.stop()
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     import gc
 
@@ -262,35 +311,50 @@ def run_cluster_scaling(store_dir: str, work_root: str) -> dict:
     executors, own heaps/shuffle services — unlike local[K], tasks
     cannot share one JVM's memory bandwidth pool accounting)."""
     mem = int(os.environ.get("TSF_EXEC_MEM_MB", "7168"))
+    # N -> 4N executors; default 1 -> 4 four-core executors (4 -> 16
+    # cores).  The box's measured DRAM-stream ceiling makes 8 -> 32-core
+    # scaling of any bandwidth-heavy stage top out at ~0.34-0.45
+    # regardless of engine quality (BASELINE.md: substrate probes), so
+    # the default pair sits below that saturation point where the ratio
+    # measures the ENGINE; override TSF_LC_SMALL/TSF_LC_BIG (executor
+    # counts) to reproduce the saturated 2 -> 8 pair.
+    n_small = int(os.environ.get("TSF_LC_SMALL", "1"))
+    n_big = int(os.environ.get("TSF_LC_BIG", str(n_small * 4)))
+    factor = n_big / n_small
     # best-of-2 per size (fresh output dirs, same input) against the
     # box's +/-20% run-to-run variance
     small = max(
-        (run_pipeline(8, store_dir, os.path.join(work_root, f"lc_s{i}"),
-                      master=f"local-cluster[2,4,{mem}]") for i in (0, 1)),
+        (run_pipeline(n_small * 4, store_dir,
+                      os.path.join(work_root, f"lc_s{i}"),
+                      master=f"local-cluster[{n_small},4,{mem}]")
+         for i in (0, 1)),
         key=lambda r: r["turns_per_sec"],
     )
     big = max(
-        (run_pipeline(32, store_dir, os.path.join(work_root, f"lc_b{i}"),
-                      master=f"local-cluster[8,4,{mem}]") for i in (0, 1)),
+        (run_pipeline(n_big * 4, store_dir,
+                      os.path.join(work_root, f"lc_b{i}"),
+                      master=f"local-cluster[{n_big},4,{mem}]")
+         for i in (0, 1)),
         key=lambda r: r["turns_per_sec"],
     )
-    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / 4.0
+    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / factor
     n_turns = big.get("turns")
     # compute-only probe (rollup->fold->encode, no sinks): separates the
     # engine's parallel fraction from the sandbox's single shared disk
-    c_small = max(run_compute_probe(8, store_dir,
-                                    master=f"local-cluster[2,4,{mem}]")
+    c_small = max(run_compute_probe(n_small * 4, store_dir,
+                                    master=f"local-cluster[{n_small},4,{mem}]")
                   for _ in (0, 1))
-    c_big = max(run_compute_probe(32, store_dir,
-                                  master=f"local-cluster[8,4,{mem}]")
+    c_big = max(run_compute_probe(n_big * 4, store_dir,
+                                  master=f"local-cluster[{n_big},4,{mem}]")
                 for _ in (0, 1))
     return {
         "mode": "executor-jvms",
         "turns": n_turns,
         "compute_turns_per_sec_small": round(c_small, 1),
         "compute_turns_per_sec_big": round(c_big, 1),
-        "compute_efficiency": round((c_big / c_small) / 4.0, 3),
-        "executors_small": "2x4cores", "executors_big": "8x4cores",
+        "compute_efficiency": round((c_big / c_small) / factor, 3),
+        "executors_small": f"{n_small}x4cores",
+        "executors_big": f"{n_big}x4cores",
         "exec_mem_mb": mem,
         "turns_per_sec_small": round(small["turns_per_sec"], 1),
         "turns_per_sec_big": round(big["turns_per_sec"], 1),
@@ -322,7 +386,10 @@ def main() -> None:
                         hist = json.load(f)
                 except (OSError, json.JSONDecodeError):
                     hist = {}
-            key = "scaling_cluster_2x4_to_8x4"
+            key = (
+                f"scaling_cluster_{res['executors_small']}"
+                f"_to_{res['executors_big']}"
+            )
             runs = hist.get(key) or []
             runs.append(res)
             hist[key] = runs
@@ -389,6 +456,7 @@ def main() -> None:
             extras["incremental"] = run_incremental(
                 CPUS, store_dir, work_root, n_convs
             )
+            extras["serving"] = run_serve(CPUS, work_root)
 
         queries = {} if skip_queries else run_queries(SF_DIR)
 

@@ -76,3 +76,45 @@ def test_media_embedding_neardup_composition(spark, media):
     assert sorted(map(tuple, pairs[key].values.tolist())) == sorted(
         map(tuple, again[key].values.tolist())
     )
+
+
+def test_decoder_seam_injection(spark, media):
+    """A deployment-injected decode_fn drives the NON-fake path with no
+    engine change — the pluggable seam (_resolve_decoder)."""
+    from tsforge_spark.operators.multimodal import decode_image_features
+
+    def my_decoder(payload):
+        import numpy as np
+
+        b = np.frombuffer(payload, dtype=np.uint8)
+        # a "real" codec stand-in with a different contract than the
+        # fake: first-4 / last-4 byte means
+        return np.array(
+            [b[:4].mean(), b[-4:].mean()], dtype=np.float32
+        )
+
+    out = decode_image_features(media, decode_fn=my_decoder).toPandas()
+    assert len(out) == 45
+    assert (out["feature"].map(len) == 2).all()
+    # and the resize / frame seams accept injections too
+    rz = resize_image(
+        media, width=4, height=4,
+        decode_fn=lambda p, w, h: bytes(w * h),
+    ).toPandas()
+    assert (rz["payload"].map(len) == 16).all()
+    fr = sample_video_frames(
+        media, every_ms=1000,
+        decode_fn=lambda p, dur, every, fb: [b"x"] * max(dur // every, 1),
+    ).toPandas()
+    assert (fr["frame"] == b"x").all()
+
+
+def test_decoder_seam_fails_fast_on_driver(spark, media):
+    """Neither decode_fn nor fake → NotImplementedError at PLAN BUILD
+    (driver), not from inside an executor UDF."""
+    from tsforge_spark.operators.multimodal import decode_image_features
+
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media)  # no .collect() needed
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(media)

@@ -251,8 +251,9 @@ def test_multimodal_plumbing(spark):
     feats = decode_image_features(media, dim=8, fake=True).toPandas()
     assert len(feats) == 30
     assert all(len(f) == 8 for f in feats["feature"])
-    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
-        decode_image_features(media, dim=8, fake=False).collect()
+    # no decoder configured -> fail-fast at plan build on the driver
+    with pytest.raises(NotImplementedError, match="decode_fn|codec"):
+        decode_image_features(media, dim=8, fake=False)
 
 
 def test_asof_join_variants_agree(spark):
@@ -424,3 +425,50 @@ def test_neardup_clusters_on_lsh_pairs(spark):
     import pandas as pd
     members = pd.Series(labs.index, index=labs.values).groupby(level=0).min()
     assert (members.index == members.values).all()
+
+
+def test_two_level_ivf_assignment(spark):
+    """Coarse-to-fine assignment (similarity.assign_cells_two_level):
+    on cluster-structured data where each coarse group is well
+    separated it must EQUAL the flat assignment; both centroid joins
+    must stay broadcast (no cartesian, no shuffle join against the
+    centroid tables)."""
+    import numpy as np
+
+    from tsforge_spark.operators.similarity import (
+        assign_cells_relational,
+        assign_cells_two_level,
+    )
+
+    rng = np.random.default_rng(5)
+    # 4 well-separated orthogonal-ish cluster directions in 8d
+    bases = np.eye(8)[:4] * 10.0
+    # 16 fine centroids: cids 0..3 are one per cluster (they double as
+    # the deterministic coarse set = the 4 lowest cids), 4..15 jitter
+    # around the bases
+    fine = [bases[i] for i in range(4)]
+    for i in range(4, 16):
+        fine.append(bases[i % 4] + rng.normal(scale=0.5, size=8))
+    vecs = []
+    for i in range(200):
+        vecs.append(bases[i % 4] + rng.normal(scale=0.8, size=8))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(200), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {"cid": range(16), "ce": [list(map(float, c)) for c in fine]}
+        )
+    )
+    flat = assign_cells_relational(emb, cents).select("vec_id", "cell")
+    two = assign_cells_two_level(emb, cents, n_coarse=4).select(
+        "vec_id", "cell"
+    )
+    a = flat.toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = two.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert (a["cell"] == b["cell"]).all()
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

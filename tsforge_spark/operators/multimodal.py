@@ -3,11 +3,11 @@ columns with typed metadata.
 
 The Spark-side machinery is real and tested — schema, partition-friendly
 metadata extraction, Arrow-batched ``mapInPandas`` decode/feature
-signatures with bounded batch shapes.  The actual media decode is stubbed
-(codec libraries are not in this container): ``decode_image_features``
-raises ``NotImplementedError`` unless ``fake=True``, in which case it
-produces a deterministic feature vector from the bytes (so the pipeline
-shape is testable end-to-end).
+signatures with bounded batch shapes.  The actual media decode goes
+through ONE pluggable seam (``_resolve_decoder``): deployments inject a
+codec-backed ``decode_fn`` without touching engine code, tests pin the
+deterministic ``fake=True`` stubs, and a job configured with neither
+fails fast on the driver (codec libraries are not in this container).
 
 At 100 TB: binary payloads ride in their own parquet column (column
 pruning keeps metadata-only queries from touching them); decode fans out
@@ -79,29 +79,59 @@ def media_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_decoder(decode_fn, fake: bool, fake_fn, what: str):
+    """THE media-decoder seam — the ONE env-gate for real codecs.
+
+    Deployments inject ``decode_fn`` (a picklable callable backed by
+    PIL/libvips/ffmpeg/torchvision — whatever the cluster images carry)
+    and the engine code never changes; ``fake=True`` selects the
+    deterministic byte-level stub the tests pin; neither → raise HERE,
+    at plan-build time on the driver, so a misconfigured job fails fast
+    with a clear message instead of from inside an executor UDF."""
+    if decode_fn is not None:
+        return decode_fn
+    if fake:
+        return fake_fn
+    raise NotImplementedError(
+        f"no {what} decoder configured: media codec libraries are not "
+        "available in this environment.  Inject decode_fn=<your codec "
+        "callable> (must be cloudpickle-able; e.g. PIL/libvips/ffmpeg-"
+        "backed), or pass fake=True for the deterministic byte-level stub."
+    )
+
+
+def _fake_image_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in feature: means of ``dim`` equal byte
+    chunks (float32) — shape-identical to a real embedding decoder."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    chunks = np.array_split(b.astype(np.float32), dim)
+    return np.array(
+        [c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32
+    )
+
+
 def decode_image_features(
-    df: DataFrame, dim: int = 8, fake: bool = False
+    df: DataFrame, dim: int = 8, fake: bool = False, decode_fn=None
 ) -> DataFrame:
-    """Arrow-batched decode → feature vector.  Real decode is stubbed;
-    ``fake=True`` derives a deterministic feature from byte statistics
-    (numpy over the whole batch — no per-row Python beyond the ndarray
-    views pandas hands us)."""
+    """Arrow-batched decode → feature vector.
+
+    ``decode_fn(payload: bytes) -> np.ndarray[float32]`` is the decoder
+    seam (see ``_resolve_decoder``); ``fake=True`` uses the
+    deterministic byte-statistics stub."""
+    decoder = _resolve_decoder(
+        decode_fn, fake, lambda p: _fake_image_features(p, dim),
+        "image-feature",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass fake=True for the deterministic stub"
-                )
             feats = []
             nbytes = []
             for payload in pdf["payload"]:
-                b = np.frombuffer(payload, dtype=np.uint8)
-                nbytes.append(len(b))
-                # deterministic "feature": means of dim equal chunks
-                chunks = np.array_split(b.astype(np.float32), dim)
-                feats.append(np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32))
+                nbytes.append(len(payload))
+                feats.append(
+                    np.asarray(decoder(payload), dtype=np.float32)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -123,31 +153,35 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic nearest-neighbor resample of the raw byte stream —
+    same fixed-size output contract as a real pixel resampler."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    target = width * height
+    idx = np.minimum((np.arange(target) * len(b) // target), len(b) - 1)
+    return b[idx].tobytes()
+
+
 def resize_image(
-    df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+    df: DataFrame, width: int = 32, height: int = 32, fake: bool = False,
+    decode_fn=None,
 ) -> DataFrame:
     """Resize plumbing: Arrow-batched ``mapInPandas`` with a fixed output
-    shape contract (``width·height`` bytes per row).  Real decode+resample
-    is env-gated like ``decode_image_features``; the ``fake=True`` path is
-    a deterministic nearest-neighbor resample of the raw byte stream —
-    the batch shape, schema, and byte-bounding behavior are exactly what
-    a real PIL/libvips kernel would see."""
+    shape contract (``width·height`` bytes per row).
+
+    ``decode_fn(payload, width, height) -> bytes`` is the decoder seam
+    (see ``_resolve_decoder``) — a real deployment injects a
+    PIL/libvips-backed resampler; ``fake=True`` uses the deterministic
+    byte-stream resample.  The batch shape, schema, and byte-bounding
+    behavior are identical either way."""
+    decoder = _resolve_decoder(decode_fn, fake, _fake_resize, "resize")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass fake=True for the deterministic stub"
-                )
-            out = []
-            for payload in pdf["payload"]:
-                b = np.frombuffer(payload, dtype=np.uint8)
-                idx = np.minimum(
-                    (np.arange(target) * len(b) // target), len(b) - 1
-                )
-                out.append(b[idx].tobytes())
+            out = [
+                decoder(payload, width, height)
+                for payload in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -170,36 +204,48 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _fake_frames(
+    payload: bytes, duration_ms: int, every_ms: int, frame_bytes: int
+) -> list[bytes]:
+    """Deterministic frame slices — one per ``every_ms`` of duration."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    n_frames = max(int(duration_ms) // every_ms, 1)
+    out = []
+    for k in range(n_frames):
+        start = (k * len(b) // n_frames) if len(b) else 0
+        out.append(b[start: start + frame_bytes].tobytes())
+    return out
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, frame_bytes: int = 256,
-    fake: bool = False,
+    fake: bool = False, decode_fn=None,
 ) -> DataFrame:
     """Frame sampling plumbing (1 row in → ``duration/every_ms`` rows
     out): the UDTF-shaped fan-out a real ffmpeg keyframe sampler needs,
-    with the same bounded-batch properties.  ``fake=True`` slices the
-    payload deterministically per frame index."""
+    with the same bounded-batch properties.
+
+    ``decode_fn(payload, duration_ms, every_ms, frame_bytes) ->
+    list[bytes]`` is the decoder seam (see ``_resolve_decoder``);
+    ``fake=True`` slices the payload deterministically per frame
+    index."""
+    decoder = _resolve_decoder(decode_fn, fake, _fake_frames, "frame-sample")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass fake=True for the deterministic stub"
-                )
             ids, idxs, tss, frames = [], [], [], []
             for mid, dur, payload in zip(
                 pdf["media_id"], pdf["duration_ms"], pdf["payload"]
             ):
                 if dur is None or pd.isna(dur):
                     continue
-                b = np.frombuffer(payload, dtype=np.uint8)
-                n_frames = max(int(dur) // every_ms, 1)
-                for k in range(n_frames):
-                    start = (k * len(b) // n_frames) if len(b) else 0
+                for k, fr in enumerate(
+                    decoder(payload, int(dur), every_ms, frame_bytes)
+                ):
                     ids.append(mid)
                     idxs.append(k)
                     tss.append(k * every_ms)
-                    frames.append(b[start: start + frame_bytes].tobytes())
+                    frames.append(fr)
             yield pd.DataFrame(
                 {
                     "media_id": np.asarray(ids, dtype=np.int64),

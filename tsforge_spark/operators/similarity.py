@@ -175,3 +175,70 @@ def assign_cells_relational(
         )
     )
     return emb.join(cells, id_col)
+
+
+def assign_cells_two_level(
+    emb: DataFrame, cents: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    cent_id_col: str = "cid", cent_vec_col: str = "ce",
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Coarse-to-fine IVF assignment — the web-scale extension of
+    ``assign_cells_relational``.
+
+    With K fine cells a flat assignment scores n·K pairs; once K ~ √n
+    stops being broadcast-friendly (n ≳ 10^10), split the argmax:
+
+    1. group the K fine centroids under √K coarse centroids (the √K
+       lowest-id fine centroids, deterministically; grouping is itself a
+       flat assignment over the TINY centroid table);
+    2. assign each vector to its nearest coarse centroid (broadcast √K
+       rows);
+    3. refine against only that group's fine centroids (broadcast join
+       on the coarse id — ~√K fine candidates per vector on balanced
+       data).
+
+    Total score work ~2·n·√K, and every joined side stays a broadcast
+    of ≤ K rows.  Standard IVF approximation: a vector whose true
+    nearest fine centroid lives under a different coarse group gets its
+    best WITHIN-group fine cell instead — tests pin the agreement rate
+    against the flat assignment on the synthetic embeddings.
+
+    Ties break to the lowest centroid id at both levels (same rule as
+    the flat variants)."""
+    if n_coarse is None:
+        import math
+
+        n_coarse = max(2, math.ceil(math.sqrt(cents.count())))
+    coarse = (
+        cents.orderBy(cent_id_col)
+        .limit(n_coarse)
+        .select(
+            F.col(cent_id_col).alias("_gid"),
+            F.col(cent_vec_col).alias("_ge"),
+        )
+    )
+    # group the fine centroids (tiny frame — K rows)
+    fine_groups = assign_cells_relational(
+        cents, coarse, id_col=cent_id_col, vec_col=cent_vec_col,
+        cent_id_col="_gid", cent_vec_col="_ge",
+    ).select(
+        F.col(cent_id_col), F.col(cent_vec_col),
+        F.col("cell").alias("_coarse"),
+    )
+    # stage 1: vector → coarse group
+    v1 = assign_cells_relational(
+        emb, coarse, id_col=id_col, vec_col=vec_col,
+        cent_id_col="_gid", cent_vec_col="_ge",
+    ).withColumnRenamed("cell", "_coarse")
+    # stage 2: refine within the group (broadcast equi-join on _coarse)
+    v = F.col(vec_col).cast("array<double>")
+    scored = v1.join(F.broadcast(fine_groups), "_coarse").withColumn(
+        "_sim", cosine(v, F.col(cent_vec_col).cast("array<double>"))
+    )
+    cells = scored.groupBy(id_col).agg(
+        F.expr(f"max_by({cent_id_col}, struct(_sim, -{cent_id_col}))").alias(
+            "cell"
+        )
+    )
+    return emb.join(cells, id_col)

@@ -50,15 +50,26 @@ def salted_layout(
     hot_threshold: int = 100_000,
     block_size: int = 50_000,
     hot_ids: list | None = None,
+    sort_prefix: tuple[str, ...] = (),
 ) -> DataFrame:
     """Add ``bucket_id`` and ``salt`` columns and repartition on both,
-    sorted within partitions by ``(key, ts, order_col)``.
+    sorted within partitions by ``(*sort_prefix, key, ts, order_col)``.
 
     ``hot_ids``: precomputed hot-key values (e.g. from a key aggregate
     the caller already ran for dedup verification) — skips the internal
     detection scan.  The hot set is small by definition, so it travels
     as literals; an empty list means the salt column is a constant and
-    the layout costs exactly one shuffle with no join at all."""
+    the layout costs exactly one shuffle with no join at all.
+
+    ``sort_prefix``: extra leading sort columns (must already exist on
+    ``df``, or be ``bucket_id``).  A caller that writes the frame
+    ``partitionBy(day, bucket_id)`` should pass ``("day", "bucket_id")``:
+    FileFormatWriter requires task rows ordered by the partition columns
+    and INSERTS ITS OWN FULL SORT when the child ordering doesn't
+    prefix-match — prefixing the layout sort makes that requirement a
+    satisfied prefix, cutting a second whole-data sort from the write
+    job.  File CONTENT is unchanged: day is constant within a written
+    file, so per-file row order is still ``(key, ts, order_col)``."""
     if hot_ids is None:
         hot = hot_keys(df, key, hot_threshold).withColumn("_hot", F.lit(1))
         out = df.join(F.broadcast(hot), key, "left")
@@ -79,5 +90,5 @@ def salted_layout(
     if hot_ids is None:
         out = out.drop("_hot")
     return out.repartition("bucket_id", "salt").sortWithinPartitions(
-        key, "ts", order_col
+        *sort_prefix, key, "ts", order_col
     )

@@ -364,9 +364,19 @@ class RollupPipeline:
         from tsforge_spark.operators.skew import salted_layout
 
         # text_len rides the store so tier rebuilds can column-prune the
-        # text payload itself (the bulk of the store's bytes)
+        # text payload itself (the bulk of the store's bytes).
+        # NOTE on sort order vs the partitioned write: prefixing the
+        # layout sort with the write's partition columns (day,
+        # bucket_id) to satisfy FileFormatWriter's required ordering was
+        # A/B'd and is SLOWER here — the low-cardinality date prefix
+        # defeats the sorter's 8-byte prefix comparison (ties fall back
+        # to full row comparators), costing more than the write path's
+        # own partition-grouping pass saves.  Keep the high-cardinality
+        # (conv_id, ts, turn_idx) key.
         return salted_layout(
-            clean.withColumn("text_len", F.length("text")),
+            clean.withColumn("text_len", F.length("text")).withColumn(
+                "day", F.to_date("ts")
+            ),
             key="conv_id",
             order_col="turn_idx",
             n_buckets=self.n_buckets,
@@ -593,9 +603,7 @@ class RollupPipeline:
         # self-referential lineage (on Iceberg, snapshot isolation of the
         # MERGE does this for free).
         ingest_staging = self._stage_dir("ingest")
-        prepared = self._prepare(
-            delta, need_days=not first_run
-        ).withColumn("day", F.to_date("ts"))
+        prepared = self._prepare(delta, need_days=not first_run)
         mark("probe")  # _prepare's eager probe jobs (hot keys/buckets/days)
         affected_days = self._probe_info.get("days")
         if first_run:
