@@ -89,6 +89,14 @@ def salted_layout(
     )
     if hot_ids is None:
         out = out.drop("_hot")
+    # Sort led by xxhash64(key): real-world ids share long literal
+    # prefixes ("conv_000...", "sess_2025..."), which defeats the
+    # sorter's 8-byte prefix comparison — every compare walks the full
+    # string.  A 64-bit hash first key resolves ~all comparisons in the
+    # prefix (collisions fall through to the lexicographic key).  The
+    # layout contract is per-key contiguity + (ts, order_col) order
+    # WITHIN a key — which hash grouping preserves exactly; only the
+    # (irrelevant) relative order of different keys changes.
     return out.repartition("bucket_id", "salt").sortWithinPartitions(
-        *sort_prefix, key, "ts", order_col
+        *sort_prefix, F.xxhash64(key), key, "ts", order_col
     )

@@ -774,30 +774,37 @@ class RollupPipeline:
         )
         blob_timings: dict[str, float] = {}
         blob_errors: list[BaseException] = []
-        blob_bytes_box = {"1m": 0, "hd": 0}
-
-        def _t_blob_1m() -> None:
-            t0 = time.time()
-            try:
-                blob_bytes_box["1m"] = self._encode_and_commit_blobs(
-                    ["1m"], "blobs_1m", affected_days, prune_convs,
-                    delta_convs,
-                )
-            except BaseException as e:  # noqa: BLE001 — rethrown below
-                blob_errors.append(e)
-            blob_timings["blob_1m"] = time.time() - t0
+        blob_bytes_box: dict[str, int] = {}
 
         import threading as _threading
 
+        def _spawn_blob(tier: str) -> _threading.Thread:
+            def _run() -> None:
+                t0 = time.time()
+                try:
+                    blob_bytes_box[tier] = self._encode_and_commit_blobs(
+                        [tier], f"blobs_{tier}", affected_days,
+                        prune_convs, delta_convs,
+                    )
+                except BaseException as e:  # noqa: BLE001 — rethrown below
+                    blob_errors.append(e)
+                blob_timings[f"blob_{tier}"] = time.time() - t0
+
+            t = _threading.Thread(target=_run)
+            t.start()
+            return t
+
         t_fold0 = time.time()
-        th_blob = _threading.Thread(target=_t_blob_1m)
-        th_blob.start()
+        th_1m = _spawn_blob("1m")
 
         upd_1m = day_filter(self.spark.read.parquet(self.tier_path("1m")))
         upd_1h = fold_tier(upd_1m.drop("day"), "1h").withColumn(
             "day", F.to_date("bucket")
         )
         self._merge_partitions(upd_1h, self.tier_path("1h"), "day", "t1h")
+        # 1h blobs only need the committed 1h tier — encode them while
+        # the 1d fold runs
+        th_1h = _spawn_blob("1h")
         upd_1h_read = day_filter(
             self.spark.read.parquet(self.tier_path("1h"))
         )
@@ -806,19 +813,19 @@ class RollupPipeline:
         )
         self._merge_partitions(upd_1d, self.tier_path("1d"), "day", "t1d")
         fold_sec = time.time() - t_fold0
-        th_blob.join()
+        for t in (th_1m, th_1h):
+            t.join()
         if blob_errors:
             raise blob_errors[0]
-        blob_bytes_box["hd"] = self._encode_and_commit_blobs(
-            ["1h", "1d"], "blobs_hd", affected_days, prune_convs,
-            delta_convs,
+        blob_bytes_box["1d"] = self._encode_and_commit_blobs(
+            ["1d"], "blobs_1d", affected_days, prune_convs, delta_convs,
         )
         stage_sec["tier_fold"] = round(fold_sec, 2)
         stage_sec["blob_1m"] = round(blob_timings.get("blob_1m", 0.0), 2)
         mark("_fold_blob")
         stage_sec["blobs"] = stage_sec.pop("_fold_blob") - stage_sec["tier_fold"]
         metrics.log("tier_fold", tiers=["1h", "1d"])
-        blob_bytes_written = blob_bytes_box["1m"] + blob_bytes_box["hd"]
+        blob_bytes_written = sum(blob_bytes_box.values())
         metrics.log("blobs", blob_bytes_written=int(blob_bytes_written))
 
         shutil.rmtree(ingest_staging, ignore_errors=True)
