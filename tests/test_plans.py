@@ -173,3 +173,18 @@ def test_no_cartesian_products_anywhere(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_minhash_signatures_is_pure_mapside(spark):
+    """The signature query (MinHash + SimHash) must plan as ONE
+    map-side pass: zero Exchanges (no explode/groupBy, no join) and at
+    most 2 md5 references in the optimized plan (one hashed-shingle
+    transform for MinHash, one hashed-token transform for SimHash) —
+    the chained-projection shape that keeps md5 work O(tokens), not
+    O(tokens x k)."""
+    from tsforge_spark.catalog import QUERIES
+
+    df = QUERIES["minhash_signatures"](spark, SF)
+    assert plan_of(df).count("Exchange") == 0
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") <= 2, opt.count("md5")

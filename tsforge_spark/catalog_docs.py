@@ -79,13 +79,15 @@ def q_minhash_signatures(spark, sf_dir):
     base-md5 ``transform`` of the shingle array; same constants as the
     historical explode+groupBy scheme, so values and oracle are
     unchanged)."""
-    from tsforge_spark.operators.dedup import add_minhash, word_shingles
+    from tsforge_spark.operators.dedup import (
+        add_minhash,
+        add_simhash,
+        word_shingles,
+    )
 
     d = _read(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        word_shingles(F.col("text"), 3).alias("sh"),
-        simhash16(F.col("text")).alias("simhash"),
+    base = add_simhash(d.select("doc_id", "text"), "text").select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh"), "simhash"
     )
     return add_minhash(base, "sh", k_hashes=4).select(
         "doc_id", "mh0", "mh1", "mh2", "mh3", "simhash"

@@ -252,8 +252,69 @@ def ngram_jaccard(
     )
 
 
+def add_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """Append a 16-bit SimHash column — single hash pass.
+
+    Chained projections (the ``add_minhash`` pattern): (1) hash the
+    distinct tokens once; (2) ONE ``aggregate`` over the hashed array
+    accumulates all 16 bit-counts plus the token count into a 17-slot
+    array (bit b of hash x via a Column-level mask AND — pyspark's
+    ``shiftright`` only takes int literals, masks ride a zipped literal
+    array); (3) assemble the majority bits from the counts array.  Each
+    non-cheap alias is referenced many times by the NEXT projection, so
+    CollapseProject keeps the barriers and every stage is evaluated
+    once per row.  The expression-valued ``simhash16`` computes the
+    same value but references its hash array 16× — higher-order
+    functions are interpreted (no codegen CSE), so it pays 16 md5
+    passes per row; use this frame-level form on hot paths.  Values are
+    IDENTICAL (same counts, same majority rule), so oracles are
+    unchanged."""
+    masks = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(16)],
+        F.lit(0).cast("long"),
+    )
+    hashed = df.withColumn(
+        "_sh_hashed",
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ),
+    )
+    counted = hashed.withColumn(
+        "_sh_counts",
+        F.aggregate(
+            "_sh_hashed",
+            F.array_repeat(F.lit(0).cast("long"), 17),
+            lambda acc, x: F.zip_with(
+                acc,
+                masks,
+                lambda a, m: a
+                + F.when(m == 0, F.lit(1).cast("long")).otherwise(
+                    (x.bitwiseAND(m) != 0).cast("long")
+                ),
+            ),
+        ),
+    )
+    n = F.element_at("_sh_counts", 17)
+    sim = None
+    for b in range(16):
+        bit = (F.element_at("_sh_counts", b + 1) * 2 >= n).cast("long")
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim + term
+    return counted.select(*df.columns, sim.alias(out_col))
+
+
 def simhash16(text: Column) -> Column:
-    """16-bit SimHash: per-bit majority vote over md5 token hashes."""
+    """16-bit SimHash: per-bit majority vote over md5 token hashes.
+
+    Expression form (compatibility) — evaluates the hashed-token array
+    once per bit (interpreted HOFs have no subexpression elimination);
+    prefer the frame-level ``add_simhash`` on hot paths, which computes
+    the identical value in one pass."""
     toks = F.array_distinct(tokens(text))
     hashed = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
