@@ -1,0 +1,129 @@
+"""LOESS STL kernel: loess exactness/consistency properties + STL
+recovery on synthetic series + the Spark grouped-kernel surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsforge_spark.operators.stl_loess import loess_smooth, stl_loess
+
+
+def naive_loess(y, span):
+    """Independent per-point reference: explicit neighbour search +
+    np.polyfit weighted linear fit (checks the vectorized closed form)."""
+    n = len(y)
+    q = min(max(span, 2), n)
+    out = np.empty(n)
+    x = np.arange(n, dtype=float)
+    for i in range(n):
+        s = int(np.clip(i - (q - 1) // 2, 0, n - q))
+        xs, ys = x[s : s + q], np.asarray(y[s : s + q], dtype=float)
+        d = np.abs(xs - i)
+        dmax = d.max()
+        u = d / dmax if dmax > 0 else d * 0
+        w = np.clip(1 - u**3, 0, None) ** 3
+        if w.sum() <= 0:
+            w = np.ones_like(w)
+        W = np.diag(w)
+        A = np.stack([np.ones_like(xs), xs - i], axis=1)
+        beta, *_ = np.linalg.lstsq(A.T @ W @ A, A.T @ W @ ys, rcond=None)
+        out[i] = beta[0]
+    return out
+
+
+def test_loess_reproduces_affine_exactly():
+    # a degree-1 weighted fit is exact on affine data for ANY weights
+    y = 3.5 * np.arange(100) - 7.25
+    for span in (5, 23, 99):
+        sm = loess_smooth(y, span)
+        assert np.allclose(sm, y, atol=1e-8)
+
+
+def test_loess_matches_naive_reference():
+    rng = np.random.default_rng(7)
+    y = np.cumsum(rng.normal(size=80))
+    for span in (7, 15, 41):
+        assert np.allclose(
+            loess_smooth(y, span), naive_loess(y, span), atol=1e-9
+        ), span
+
+
+def test_loess_robustness_weights_downweight_outlier():
+    y = np.zeros(60)
+    y[30] = 100.0
+    rho = np.ones(60)
+    rho[30] = 0.0
+    sm = loess_smooth(y, 15, rho)
+    assert np.abs(sm).max() < 1e-9  # outlier fully ignored
+
+
+def test_stl_recovers_trend_plus_seasonal():
+    rng = np.random.default_rng(42)
+    n, p = 24 * 14, 24
+    t = np.arange(n)
+    trend_true = 0.05 * t + 10
+    seas_true = 3.0 * np.sin(2 * np.pi * t / p)
+    y = trend_true + seas_true + rng.normal(scale=0.05, size=n)
+    T, S, R = stl_loess(y, p, seasonal=7)
+    # exact closure by construction
+    assert np.allclose(T + S + R, y, atol=1e-12)
+    # interior recovery (edges are loess-extrapolated)
+    sl = slice(2 * p, n - 2 * p)
+    assert np.abs(T[sl] - trend_true[sl]).mean() < 0.2
+    assert np.abs(S[sl] - seas_true[sl]).mean() < 0.2
+    assert np.abs(R[sl]).mean() < 0.2
+    # seasonal is centered: cycle means near zero
+    assert np.abs(S[sl].reshape(-1, p).mean()) < 0.05
+
+
+def test_stl_robust_damps_spike():
+    rng = np.random.default_rng(3)
+    n, p = 24 * 10, 24
+    t = np.arange(n)
+    y = 2.0 * np.sin(2 * np.pi * t / p) + rng.normal(scale=0.05, size=n)
+    y_spiked = y.copy()
+    y_spiked[n // 2] += 50.0
+    T0, S0, _ = stl_loess(y_spiked, p, outer=0)
+    T2, S2, _ = stl_loess(y_spiked, p, outer=2)
+    sl = slice(2 * p, n - 2 * p)
+    # robustness iterations pull trend+seasonal back toward the clean fit
+    Tc, Sc, _ = stl_loess(y, p, outer=0)
+    err0 = np.abs((T0 + S0)[sl] - (Tc + Sc)[sl]).mean()
+    err2 = np.abs((T2 + S2)[sl] - (Tc + Sc)[sl]).mean()
+    assert err2 < err0
+
+
+def test_stl_short_series_raises():
+    with pytest.raises(ValueError):
+        stl_loess(np.zeros(30), 24)
+
+
+def test_stl_spark_surface(spark):
+    from tsforge_spark.operators.stl_loess import stl_decompose_loess
+
+    n, p = 24 * 10, 24
+    t = np.arange(n)
+    rows = []
+    for uid in ("a", "b"):
+        scale = 1.0 if uid == "a" else 4.0
+        y = scale * np.sin(2 * np.pi * t / p) + 0.01 * t
+        ts = pd.date_range("2025-01-01", periods=n, freq="h")
+        rows.append(
+            pd.DataFrame({"uid": uid, "ts": ts, "y": y})
+        )
+    pdf = pd.concat(rows)
+    df = spark.createDataFrame(pdf)
+    out = stl_decompose_loess(df, "uid", "ts", "y", period=p).toPandas()
+    assert len(out) == 2 * n
+    for uid, g in out.groupby("uid"):
+        g = g.sort_values("ts")
+        assert np.allclose(
+            g["trend"] + g["seasonal"] + g["resid"], g["value"], atol=1e-12
+        )
+        # and the kernel agrees with the numpy function exactly
+        T, S, R = stl_loess(
+            g["value"].to_numpy(), p, seasonal=7
+        )
+        assert np.allclose(g["trend"].to_numpy(), T, atol=1e-12)

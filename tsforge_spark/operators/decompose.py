@@ -28,10 +28,16 @@ array fold — the one place a float sum happens, in a fixed order on both
 engines.
 
 Deviations from the reference (documented, deliberate):
-- classical decomposition instead of loess-based STL (no statsmodels;
-  deterministic + oracle-checkable);
-- the guard drops the ADF stationarity test (statsmodels) and keeps the
-  length / ADI / CV gates of ``_deseasonalize_if_ok``.
+- THIS module is classical decomposition (deterministic +
+  oracle-checkable, pure column expressions); the full loess-based STL
+  the reference delegates to statsmodels is implemented from the
+  Cleveland et al. 1990 algorithm in ``operators/stl_loess.py`` as a
+  grouped vectorized-numpy kernel (loess is sequential per series, so
+  applyInPandas is the right execution shape) — use that when loess
+  smoothing specifically is needed;
+- the guard's ADF stationarity test is the closed-form ADF-lite below
+  (no statsmodels) alongside the length / ADI / CV gates of
+  ``_deseasonalize_if_ok``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,222 @@
+"""LOESS-based STL decomposition (Cleveland et al. 1990) — the full
+seasonal-trend-loess procedure the reference delegates to statsmodels
+(``/root/reference/src/tsforge/plots/charts/plot_decomposition.py:23-97``).
+
+statsmodels is absent in this environment, so the procedure is
+implemented here from the published algorithm: cycle-subseries loess
+smoothing → low-pass (p-MA × 2, 3-MA, loess) → seasonal; loess trend of
+the deseasonalized series; optional outer robustness iterations with
+bisquare weights.  ``classical_decompose`` (operators/decompose.py)
+remains the oracle-checkable relational variant; this module is the
+per-series kernel for users who need loess smoothing specifically.
+
+Execution model: loess is sequential per series by nature, so the Spark
+surface is a grouped ``applyInPandas`` kernel — one Arrow batch per
+series group, whole-series numpy inside (no per-row Python).  The loess
+itself is vectorized: on the regular integer grid every neighborhood is
+a contiguous window, so all point fits happen in one batched
+closed-form weighted-linear-regression pass over strided windows.
+
+Deviations from statsmodels' STL (documented, deliberate):
+- evaluation grid is the regular sample index (STL's original setting;
+  our tier grids are regular by construction — gapfill first);
+- no jump/skip optimizations (n_jump=1 everywhere);
+- low-pass loess span = smallest odd ≥ period (the paper's n_l).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _odd_at_least(n: int) -> int:
+    n = max(int(n), 3)
+    return n if n % 2 == 1 else n + 1
+
+
+def loess_smooth(
+    y: np.ndarray, span: int, rho: np.ndarray | None = None
+) -> np.ndarray:
+    """Degree-1 loess over the regular grid x = 0..n-1, evaluated at
+    every grid point.
+
+    ``span`` = q nearest neighbours (clamped to n).  On a regular grid
+    the q-neighbourhood of point i is the contiguous window starting at
+    ``clip(i - q//2, 0, n - q)``, so every local weighted linear fit is
+    solved in closed form over strided windows — one vectorized pass,
+    no per-point Python loop.  ``rho``: optional robustness weights
+    (multiplied into the tricube weights).
+
+    Exactness property used by tests: a degree-1 weighted fit
+    reproduces any affine series exactly, independent of the weights.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n == 0:
+        return y.copy()
+    q = min(max(int(span), 2), n)
+    starts = np.clip(np.arange(n) - (q - 1) // 2, 0, n - q)
+    # windowed views: rows i -> y[starts[i] : starts[i]+q]
+    idx = starts[:, None] + np.arange(q)[None, :]
+    yw = y[idx]
+    xw = idx.astype(np.float64)
+    x0 = np.arange(n, dtype=np.float64)[:, None]
+    d = np.abs(xw - x0)
+    dmax = d.max(axis=1, keepdims=True)
+    # tricube over distance/dmax; dmax==0 only when q covers one point
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.where(dmax > 0, d / dmax, 0.0)
+    w = np.clip(1.0 - u**3, 0.0, None) ** 3
+    # the farthest point gets weight 0; guard the all-zero row (q=2)
+    if rho is not None:
+        w = w * np.asarray(rho, dtype=np.float64)[idx]
+    wsum = w.sum(axis=1)
+    degenerate = wsum <= 0
+    if degenerate.any():
+        w[degenerate] = 1.0
+        wsum = w.sum(axis=1)
+    # closed-form weighted linear fit per row, evaluated at x0
+    xc = xw - x0  # center at the eval point: prediction = intercept
+    s0 = wsum
+    s1 = (w * xc).sum(axis=1)
+    s2 = (w * xc * xc).sum(axis=1)
+    sy = (w * yw).sum(axis=1)
+    sxy = (w * xc * yw).sum(axis=1)
+    det = s0 * s2 - s1 * s1
+    # fall back to weighted mean where the design is singular
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta0 = np.where(
+            np.abs(det) > 1e-12 * np.maximum(s0 * s2, 1e-300),
+            (s2 * sy - s1 * sxy) / det,
+            sy / s0,
+        )
+    return beta0
+
+
+def _ma(y: np.ndarray, k: int) -> np.ndarray:
+    """Centered moving average of window k; output length len(y)-k+1."""
+    c = np.cumsum(np.concatenate(([0.0], y)))
+    return (c[k:] - c[:-k]) / k
+
+
+def stl_loess(
+    y: np.ndarray,
+    period: int,
+    seasonal: int = 7,
+    trend: int | None = None,
+    inner: int = 2,
+    outer: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full STL: returns (trend, seasonal, resid) with
+    y == trend + seasonal + resid exactly (resid is the closure).
+
+    ``seasonal``: loess span for the cycle-subseries smoother (n_s,
+    odd; the paper's recommended ≥ 7).  ``trend``: n_t, default the
+    paper's smallest odd ≥ 1.5·p / (1 − 1.5/n_s).  ``outer`` > 0 adds
+    robustness iterations with bisquare weights."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    p = int(period)
+    if n < 2 * p:
+        raise ValueError("series shorter than two periods")
+    n_s = _odd_at_least(seasonal)
+    n_t = _odd_at_least(
+        trend if trend is not None else int(np.ceil(1.5 * p / (1 - 1.5 / n_s)))
+    )
+    n_l = _odd_at_least(p)
+
+    T = np.zeros(n)
+    S = np.zeros(n)
+    rho = np.ones(n)
+    for _o in range(outer + 1):
+        for _i in range(inner):
+            detr = y - T
+            # 1. cycle-subseries loess, extended one period each side
+            C = np.empty(n + 2 * p)
+            for k in range(p):
+                sub = detr[k::p]
+                m = len(sub)
+                rsub = rho[k::p]
+                sm = loess_smooth(sub, n_s, rsub)
+                # extend one position at each end by evaluating the
+                # boundary fits one step out: reuse edge slope via a
+                # linear fit of the 2 boundary smoothed values (the
+                # standard practical extension)
+                lo = sm[0] - (sm[1] - sm[0]) if m > 1 else sm[0]
+                hi = sm[-1] + (sm[-1] - sm[-2]) if m > 1 else sm[-1]
+                C[k::p] = np.concatenate(([lo], sm, [hi]))[
+                    : len(C[k::p])
+                ]
+            # 2. low-pass: MA(p) x2 then MA(3) then loess(n_l)
+            L = _ma(_ma(_ma(C, p), p), 3)
+            L = loess_smooth(L, n_l)
+            # lengths: C: n+2p -> MA(p): n+p+1 -> MA(p): n+2 -> MA(3): n
+            S = C[p : n + p] - L
+            # 3. trend loess of the deseasonalized series
+            T = loess_smooth(y - S, n_t, rho)
+        R = y - T - S
+        if _o < outer:
+            # bisquare robustness weights from |R|
+            h = 6.0 * np.median(np.abs(R))
+            if h <= 0:
+                rho = np.ones(n)
+            else:
+                u = np.clip(np.abs(R) / h, 0.0, 1.0)
+                rho = (1.0 - u**2) ** 2
+    return T, S, y - T - S
+
+
+def stl_decompose_loess(
+    df,
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    seasonal: int = 7,
+    trend: int | None = None,
+    outer: int = 0,
+):
+    """Spark surface: grouped ``applyInPandas`` STL per series.
+
+    Input must be on a regular grid per series (gapfill first — the
+    engine's gapfill operators produce exactly that).  Returns the
+    input grain + (trend, seasonal, resid).  One Arrow batch per
+    series; the kernel is whole-series numpy (loess windows batched —
+    no per-row Python)."""
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    out_schema = T_.StructType(
+        [
+            T_.StructField(id_col, df.schema[id_col].dataType, False),
+            T_.StructField(ts_col, df.schema[ts_col].dataType, False),
+            T_.StructField("value", T_.DoubleType(), True),
+            T_.StructField("trend", T_.DoubleType(), True),
+            T_.StructField("seasonal", T_.DoubleType(), True),
+            T_.StructField("resid", T_.DoubleType(), True),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        yv = pdf[value_col].to_numpy(dtype=np.float64)
+        if len(yv) < 2 * period:
+            t = s = r = np.full(len(yv), np.nan)
+        else:
+            t, s, r = stl_loess(
+                yv, period, seasonal=seasonal, trend=trend, outer=outer
+            )
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                "value": yv,
+                "trend": t,
+                "seasonal": s,
+                "resid": r,
+            }
+        )
+
+    return df.select(id_col, ts_col, value_col).groupBy(id_col).applyInPandas(
+        kernel, schema=out_schema
+    )
