@@ -794,6 +794,14 @@ class RollupPipeline:
             t.start()
             return t
 
+        # Split granularity is adaptive: big (re)builds use the finest
+        # pipelining (1h blobs ∥ 1d fold — a third blob job whose launch
+        # cost is dwarfed by the encode), while small incremental deltas
+        # batch 1h+1d into one job — their encodes are tiny, so an extra
+        # job launch costs more than the overlap saves (A/B'd on the
+        # sf0.1 daily delta).
+        fine_split = first_run or len(affected_days) > 4
+
         t_fold0 = time.time()
         th_1m = _spawn_blob("1m")
 
@@ -804,7 +812,7 @@ class RollupPipeline:
         self._merge_partitions(upd_1h, self.tier_path("1h"), "day", "t1h")
         # 1h blobs only need the committed 1h tier — encode them while
         # the 1d fold runs
-        th_1h = _spawn_blob("1h")
+        th_1h = _spawn_blob("1h") if fine_split else None
         upd_1h_read = day_filter(
             self.spark.read.parquet(self.tier_path("1h"))
         )
@@ -813,12 +821,14 @@ class RollupPipeline:
         )
         self._merge_partitions(upd_1d, self.tier_path("1d"), "day", "t1d")
         fold_sec = time.time() - t_fold0
-        for t in (th_1m, th_1h):
+        for t in (th_1m, th_1h) if th_1h is not None else (th_1m,):
             t.join()
         if blob_errors:
             raise blob_errors[0]
-        blob_bytes_box["1d"] = self._encode_and_commit_blobs(
-            ["1d"], "blobs_1d", affected_days, prune_convs, delta_convs,
+        tail_tiers = ["1d"] if fine_split else ["1h", "1d"]
+        blob_bytes_box["tail"] = self._encode_and_commit_blobs(
+            tail_tiers, "blobs_tail", affected_days, prune_convs,
+            delta_convs,
         )
         stage_sec["tier_fold"] = round(fold_sec, 2)
         stage_sec["blob_1m"] = round(blob_timings.get("blob_1m", 0.0), 2)
