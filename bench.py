@@ -396,6 +396,14 @@ def main() -> None:
             with open("BENCH_SCALING.json", "w") as f:
                 json.dump(hist, f, indent=1)
             print(json.dumps(res))
+            # compact final line for the driver's 2000-char tail capture
+            print(json.dumps({
+                k: res[k] for k in (
+                    "mode", "turns", "executors_small", "executors_big",
+                    "turns_per_sec_small", "turns_per_sec_big",
+                    "efficiency", "speedup", "compute_efficiency",
+                ) if k in res
+            }, separators=(",", ":")))
             return
         if scaling:
             n_big = int(os.environ.get("TSF_SCALE_BIG", CPUS))
@@ -473,7 +481,31 @@ def main() -> None:
             "cores": CPUS,
             **extras,
         }
+        # The driver records only the LAST ~2000 chars of stdout and parses
+        # the final JSON line; the full detail blob outgrew that in r4
+        # ("parsed": null).  So: full detail goes to a file + a first line,
+        # and the FINAL line is a compact headline guaranteed to fit the
+        # tail capture (metric/value/unit/queries only, compact separators).
+        with open("bench_detail.json", "w") as f:
+            json.dump(out, f, indent=1)
         print(json.dumps(out))
+        headline = {
+            "metric": METRIC,
+            "value": out["value"],
+            "unit": "turns/sec",
+            "queries": queries,
+            "sf": sf,
+            "turns": out["turns"],
+        }
+        line = json.dumps(headline, separators=(",", ":"))
+        if len(line) > 1900:  # still too big: drop per-query detail last
+            headline["queries"] = {
+                k: v for k, v in queries.items() if v >= 1.0
+            }
+            headline["queries_sum_sec"] = round(sum(queries.values()), 2)
+            headline["queries_full"] = "bench_detail.json"
+            line = json.dumps(headline, separators=(",", ":"))
+        print(line)
     finally:
         shutil.rmtree(work_root, ignore_errors=True)
 
