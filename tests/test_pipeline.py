@@ -505,3 +505,79 @@ def test_unique_key_check_trust_matches_probe(spark, tmp_path):
             _tier_norm(a.read_tier(tier).toPandas()),
             _tier_norm(b.read_tier(tier).toPandas()),
         )
+
+
+def test_interrupted_blob_swap_heals_and_keeps_carried_blobs(
+    spark, tmp_path
+):
+    """Crash between the two renames of the blob partition swap leaves
+    the old partition under ``.trash_<sub>`` with the live dir missing.
+    The next run must (a) restore it before the conv-pruned carried read
+    — otherwise untouched conversations' blobs would silently vanish —
+    and (b) converge to the same blobs as a full recompute."""
+    import os
+    import shutil
+
+    base = make_transcripts(n_convs=30, seed=31)
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.append(transcripts_to_spark(spark, base))
+    pipe = RollupPipeline(
+        spark, store, str(tmp_path / "out"), n_buckets=8,
+        blob_conv_prune_limit=1000,
+    )
+    assert pipe.run()["status"] == "ok"
+
+    # simulate the crash: one 1h seg_day partition renamed to trash, the
+    # live dir gone (interrupted between os.replace #1 and #2)
+    tier_dir = os.path.join(pipe.blobs_path, "tier_part=1h")
+    subs = sorted(
+        s for s in os.listdir(tier_dir) if s.startswith("seg_day=")
+    )
+    assert subs
+    victim = subs[0]
+    os.replace(
+        os.path.join(tier_dir, victim),
+        os.path.join(tier_dir, f".trash_{victim}"),
+    )
+    assert not os.path.isdir(os.path.join(tier_dir, victim))
+
+    # a late batch arrives; the incremental run takes the conv-pruned
+    # carried path over the (healed) blob store
+    late = make_late_batch(base, seed=32)
+    store.append(transcripts_to_spark(spark, late))
+    assert pipe.run()["status"] == "ok"
+    assert not any(
+        s.startswith(".trash_") for s in os.listdir(tier_dir)
+    )
+
+    full = RollupPipeline(
+        spark, store, str(tmp_path / "out_full"), n_buckets=8,
+        dedup_against_history=False,
+    )
+    full.run()
+    for tier in ("1m", "1h", "1d"):
+        inc = (
+            pipe.decoded_series(tier)
+            .filter("measure = 'turns'")
+            .toPandas()
+            .sort_values(["conv_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        ful = (
+            full.decoded_series(tier)
+            .filter("measure = 'turns'")
+            .toPandas()
+            .sort_values(["conv_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(inc, ful)
+
+    # debris variant: a leftover trash dir WITH its live dir present is
+    # post-install junk and must just be dropped
+    src = os.path.join(tier_dir, subs[-1])
+    shutil.copytree(src, os.path.join(tier_dir, f".trash_{subs[-1]}"))
+    pipe._heal_interrupted_swaps(tier_dir)
+    assert not any(
+        s.startswith(".trash_") for s in os.listdir(tier_dir)
+    )
+    assert os.path.isdir(src)

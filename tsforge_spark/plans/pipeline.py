@@ -131,7 +131,7 @@ class RollupPipeline:
         self.blob_conv_prune_limit = blob_conv_prune_limit
         # set by _prepare's key probes; consumed by run() for lineage
         self._probe_info: dict = {
-            "has_dups": False, "buckets": [], "delta_convs": None,
+            "has_dups": False, "delta_convs": None,
         }
         os.makedirs(out_dir, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -235,48 +235,58 @@ class RollupPipeline:
 
         def _hot_probe() -> tuple:
             # ONE action at the bucket grain carries everything bounded:
-            # per-bucket row sums (lineage), the hot-conversation ids
-            # riding along as collect_list(when(count>thr)) — nulls are
-            # skipped, so the list holds only hots, small by definition
-            # — and the per-bucket conv count (for the conv-prune gate).
-            # Job fixed cost dominates small deltas, so fewer+fused
-            # actions beat a cached frame with per-derivation jobs.
+            # per-bucket row sums, the hot-conversation ids riding along
+            # as collect_list(when(count>thr)) — nulls are skipped, so
+            # the list holds only hots, small by definition — the
+            # per-bucket conv count (conv-prune gate), and, when pruning
+            # is enabled, the conv-id list itself (capped per bucket at
+            # limit+1 via slice: if the TOTAL is within the limit every
+            # bucket's list is complete, and when the total overflows
+            # the lists go unused, so the driver transfer is bounded by
+            # n_buckets·(limit+1) ids either way).  Job fixed cost
+            # dominates small deltas, so fewer+fused actions beat a
+            # cached frame with per-derivation jobs — a second
+            # per_conv.collect() here would re-scan and re-aggregate the
+            # whole delta.
             per_conv = clean.groupBy("conv_id").agg(
                 F.count(F.lit(1)).alias("count")
             )
+            agg_cols = [
+                F.sum("count").alias("rows"),
+                F.collect_list(
+                    F.when(
+                        F.col("count") > self.hot_threshold,
+                        F.col("conv_id"),
+                    )
+                ).alias("hots"),
+                F.count(F.lit(1)).alias("n_convs"),
+            ]
+            if self.blob_conv_prune_limit > 0:
+                agg_cols.append(
+                    F.slice(
+                        F.collect_list("conv_id"),
+                        1,
+                        self.blob_conv_prune_limit + 1,
+                    ).alias("conv_ids")
+                )
             rows = (
                 per_conv.groupBy(
                     F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
                     .cast("int")
                     .alias("bucket_id")
                 )
-                .agg(
-                    F.sum("count").alias("rows"),
-                    F.collect_list(
-                        F.when(
-                            F.col("count") > self.hot_threshold,
-                            F.col("conv_id"),
-                        )
-                    ).alias("hots"),
-                    F.count(F.lit(1)).alias("n_convs"),
-                )
+                .agg(*agg_cols)
                 .collect()
             )
             hots = [c for r in rows for c in r["hots"]]
-            buckets = sorted(
-                (int(r["bucket_id"]), int(r["rows"])) for r in rows
-            )
             delta_convs = None
             if (
                 self.blob_conv_prune_limit > 0
                 and sum(int(r["n_convs"]) for r in rows)
                 <= self.blob_conv_prune_limit
             ):
-                delta_convs = [
-                    r["conv_id"]
-                    for r in per_conv.select("conv_id").collect()
-                ]
-            return hots, buckets, delta_convs
+                delta_convs = [c for r in rows for c in r["conv_ids"]]
+            return hots, delta_convs
 
         def _days_probe() -> list:
             # map-side distinct to a handful of day rows; runs
@@ -306,7 +316,7 @@ class RollupPipeline:
         )
         if not need_probe:
             has_dups = False
-            hot_ids, probe_buckets, delta_convs, days = None, [], None, None
+            hot_ids, delta_convs, days = None, None, None
         else:
             # independent probes run CONCURRENTLY from driver threads
             # (each is a narrow column-pruned scan; FAIR scheduling
@@ -323,12 +333,11 @@ class RollupPipeline:
                 # in-delta verification; history dedup still applies
                 has_dups = f_dup.result() if f_dup is not None else False
                 days = f_days.result() if f_days is not None else None
-                hot_ids, probe_buckets, delta_convs = f_hot.result()
+                hot_ids, delta_convs = f_hot.result()
         if need_days and affected_days is None:
             affected_days = days
         self._probe_info = {
             "has_dups": has_dups,
-            "buckets": probe_buckets,
             "delta_convs": delta_convs,
             "days": days,
         }
@@ -453,23 +462,55 @@ class RollupPipeline:
                     moved += 1
         return moved
 
+    def _heal_interrupted_swaps(self, target: str) -> None:
+        """Recover partitions from a swap interrupted between its two
+        renames: a leftover ``.trash_<sub>`` dir whose ``<sub>`` is
+        missing means the old partition was renamed away but the new one
+        never landed — restore it (the replay recompute then overwrites
+        it normally).  A leftover WITH ``<sub>`` present is post-install
+        debris — drop it.  Must run before any read of ``target`` that
+        assumes partition completeness (the conv-pruned carried-blob
+        read), not just before the next commit."""
+        if not os.path.isdir(target):
+            return
+        for t in os.listdir(target):
+            if not t.startswith(".trash_"):
+                continue
+            orig = os.path.join(target, t[len(".trash_"):])
+            tr = os.path.join(target, t)
+            if os.path.exists(orig):
+                shutil.rmtree(tr, ignore_errors=True)
+            else:
+                os.replace(tr, orig)
+
     def _replace_partitions_by_move(self, staging: str, target: str) -> None:
         """Dynamic-partition-overwrite via driver-side file moves: for
-        each ``day=…`` partition dir in ``staging``, drop the matching
-        target partition and move the staged one in (Iceberg: REPLACE
-        PARTITIONS commit).  Crash mid-move leaves a subset replaced —
-        healed by the replay contract, identical to a crash mid-commit
-        of a dynamic-overwrite write job."""
+        each ``day=…`` partition dir in ``staging``, swap the matching
+        target partition for the staged one (Iceberg: REPLACE PARTITIONS
+        commit).  The swap is rename-to-trash — ``os.replace(dst,
+        .trash_sub); os.replace(src, dst); rmtree(.trash_sub)`` — so the
+        vulnerable window is two renames, not an unbounded rmtree, and a
+        crash inside it leaves the old bytes intact under a dot-prefixed
+        dir (invisible to Spark's file listing) that
+        ``_heal_interrupted_swaps`` restores on the next run.  A crash
+        between partitions leaves a subset replaced — healed by the
+        replay contract, identical to a crash mid-commit of a
+        dynamic-overwrite write job."""
         if not os.path.isdir(staging):
             return
+        self._heal_interrupted_swaps(target)
         for sub in os.listdir(staging):
             if "=" not in sub:
                 continue
             src = os.path.join(staging, sub)
             dst = os.path.join(target, sub)
-            shutil.rmtree(dst, ignore_errors=True)
+            trash = os.path.join(target, f".trash_{sub}")
             os.makedirs(target, exist_ok=True)
+            shutil.rmtree(trash, ignore_errors=True)
+            if os.path.isdir(dst):
+                os.replace(dst, trash)
             os.replace(src, dst)
+            shutil.rmtree(trash, ignore_errors=True)
 
     def _encode_and_commit_blobs(
         self,
@@ -492,7 +533,9 @@ class RollupPipeline:
         per-partition moves (not a direct dynamic overwrite): the
         conv-pruned path READS the blob store it replaces, so the swap
         must happen only after the carried bytes are safely rewritten —
-        each seg_day partition flips old→new in one os.replace.
+        each seg_day partition swaps via rename-to-trash (old bytes
+        survive a mid-swap crash under ``.trash_*`` and are restored by
+        ``_heal_interrupted_swaps`` before the next carried read).
 
         conv-pruned fast path (``prune_convs``): only DELTA
         conversations' tier cells can have changed, so when the delta
@@ -534,18 +577,30 @@ class RollupPipeline:
             )
             if prune_convs:
                 seg_days = sorted({s.date() for s in seg_of_day})
-                carried = (
-                    self.spark.read.parquet(self.blobs_path)
-                    .filter(
-                        (F.col("tier_part") == tier)
-                        & F.col("seg_day").isin(seg_days)
-                        & ~F.col("conv_id").isin(delta_convs)
+                # Read ONLY this tier's subtree.  Reading the whole blobs
+                # root here would eagerly list tier_part=* dirs that a
+                # CONCURRENT blob thread (1m ∥ 1h under fine_split) is
+                # mid-swap on — a vanished-path FileNotFoundException
+                # race.  Per-tier read + per-tier commit means each
+                # thread lists and mutates only its own subtree, so the
+                # threads never observe each other's commits at all.
+                tier_blob_dir = os.path.join(
+                    self.blobs_path, f"tier_part={tier}"
+                )
+                self._heal_interrupted_swaps(tier_blob_dir)
+                if os.path.isdir(tier_blob_dir):
+                    carried = (
+                        self.spark.read.parquet(tier_blob_dir)
+                        .filter(
+                            F.col("seg_day").isin(seg_days)
+                            & ~F.col("conv_id").isin(delta_convs)
+                        )
+                        .withColumn("tier_part", F.lit(tier))
                     )
-                    .withColumn("tier_part", F.lit(tier))
-                )
-                blobs = blobs.unionByName(
-                    carried.select(*blobs.columns), allowMissingColumns=False
-                )
+                    blobs = blobs.unionByName(
+                        carried.select(*blobs.columns),
+                        allowMissingColumns=False,
+                    )
             all_blobs = blobs if all_blobs is None else all_blobs.unionByName(blobs)
         obs_blobs = Observation()
         all_blobs = all_blobs.observe(
@@ -714,10 +769,11 @@ class RollupPipeline:
         mark("turns_store")
 
         if n_turns > 0:
-            # lineage at the hash-bucket grain (probe aggregate on first
-            # runs, staging footers on incremental runs) — written
-            # driver-side: ≤ n_buckets tiny rows don't justify a Spark
-            # job's fixed launch+commit cost
+            # lineage at the hash-bucket grain — counts come from the
+            # staged parquet footers on every path (first runs read the
+            # final-layout staging, incremental runs the delta staging);
+            # written driver-side: ≤ n_buckets tiny rows don't justify a
+            # Spark job's fixed launch+commit cost
             append_lineage(
                 self.lineage_path, job_id, "ingest", last, counts,
                 detail=f"after={after}",
