@@ -203,31 +203,45 @@ def run_compute_probe(cores: int, store_dir: str, master: str | None = None) -> 
 
 
 def _warm_jvm(spark, sf_dir: str) -> None:
-    """Untimed steady-state warm-up: exercise the common execution
-    machinery (parquet scan, hash agg, sort, window, shuffle join,
-    higher-order exprs, codegen+JIT infrastructure) once before the
-    timed loop.  Root cause (ROUND4_NOTES.md): per-query timings vary
-    25-90% with the JVM's JIT warm-up HISTORY — a cold-process catalog
-    run measures 48.8s where the same session's second pass measures
-    25.2s — so without a fixed warm-up the numbers reflect whatever jobs
-    happened to run earlier in the process, not the queries."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    """Untimed steady-state warm-up: run the ENTIRE catalog once over
+    tiny parquet copies of every table, so each timed query pays data
+    cost, not Janino cold-compile.  Root cause (ROUND4_NOTES.md):
+    per-query timings vary 25-90% with the JVM's JIT warm-up HISTORY —
+    a cold-process catalog run measures 48.8s where the same session's
+    second pass measures 25.2s — most of it per-plan whole-stage-codegen
+    compilation, paid once per generated class.
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).agg(
-        F.sum("n")
-    ).collect()
-    w = Window.partitionBy("user_id").orderBy("ts")
-    ev.select("user_id", "ts", F.lag("ts").over(w).alias("p")).filter(
-        F.col("p").isNotNull()
-    ).count()
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d.select(
-        F.array_min(
-            F.transform(F.split("text", " "), lambda t: F.length(t))
-        ).alias("m")
-    ).join(d.select("doc_id").limit(10), how="cross").count()
+    The subsets must round-trip through PARQUET files with the same
+    table names: codegen caches on the generated source, and a Limit
+    node (or any other plan delta) in the warm-up would generate — and
+    compile — different classes than the timed query's plain
+    scan->project pipeline.  Tiny files with identical schemas read
+    through the same catalog functions yield identical codegen units
+    (modulo AQE join-strategy picks that depend on size)."""
+    import gc
+    import tempfile as _tf
+
+    from tsforge_spark.catalog import QUERIES
+
+    warm_dir = _tf.mkdtemp(prefix="tsf_warm_")
+    try:
+        for t in (
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ):
+            src = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(src):
+                spark.read.parquet(src).limit(512).write.mode(
+                    "overwrite"
+                ).parquet(f"{warm_dir}/{t}.parquet")
+        for _name, fn in QUERIES.items():
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:  # noqa: BLE001 — warm-up is best-effort
+                pass
+        gc.collect()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
 
 def run_serve(cores: int, work_root: str) -> dict:

@@ -381,8 +381,8 @@ def _lsh_sql() -> str:
     for b in range(4):
         c0, c1 = b * 2, b * 2 + 1
         bands.append(
-            f"SELECT doc_id, md5('{b}_' || CAST(mh{c0} AS VARCHAR) || '_' || "
-            f"CAST(mh{c1} AS VARCHAR)) AS band_key FROM sig"
+            f"SELECT doc_id, {b} AS band_no, mh{c0} AS k0, mh{c1} AS k1 "
+            "FROM sig"
         )
     band_union = " UNION ALL ".join(bands)
     return f"""
@@ -393,7 +393,8 @@ def _lsh_sql() -> str:
     keyed AS ({band_union}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keyed a JOIN keyed b ON a.band_key = b.band_key
+      FROM keyed a JOIN keyed b
+        ON a.band_no = b.band_no AND a.k0 = b.k0 AND a.k1 = b.k1
       WHERE a.doc_id < b.doc_id),
     j AS (
       SELECT p.id_a, p.id_b,

@@ -183,18 +183,21 @@ def lsh_candidate_pairs(
     # One pass: a union of per-band frames would duplicate the signature
     # plan `bands` times (every mh column re-hashed per branch).  Build
     # all band keys as one array over the already-computed mh columns and
-    # explode — each signature is derived exactly once per row.
+    # explode — each signature is derived exactly once per row.  The key
+    # is the raw NUMERIC tuple (band_no, mh…), not a digest: candidate
+    # membership only needs equality, so hashing the tuple through
+    # md5(concat_ws(…)) bought nothing but 2·bands expression nodes per
+    # row (the largest codegen unit left in this plan — Janino compile
+    # was the bulk of the query's single-shot cost) plus a 32-char join
+    # key where two longs + an int hash cheaper and checkpoint smaller.
     band_keys = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    F.lit(str(b)),
-                    *[
-                        F.col(f"mh{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
+            F.struct(
+                F.lit(b).alias("band_no"),
+                *[
+                    F.col(f"mh{b * rows_per_band + j}").alias(f"k{j}")
+                    for j in range(rows_per_band)
+                ],
             )
             for b in range(bands)
         ]
@@ -211,13 +214,16 @@ def lsh_candidate_pairs(
     # a long batch job on flaky infra should swap in reliable
     # checkpointing (sc.setCheckpointDir + .checkpoint()) at the cost of
     # a distributed-FS write.
-    keyed = sig.select(
-        F.col(id_col), F.explode(band_keys).alias("band_key")
-    ).localCheckpoint(eager=True)
+    key_cols = ["band_no"] + [f"k{j}" for j in range(rows_per_band)]
+    keyed = (
+        sig.select(F.col(id_col), F.explode(band_keys).alias("bk"))
+        .select(id_col, "bk.*")
+        .localCheckpoint(eager=True)
+    )
     a = keyed.alias("a")
     b_ = keyed.alias("b")
     pairs = (
-        a.join(b_, on="band_key")
+        a.join(b_, on=key_cols)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
