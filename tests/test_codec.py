@@ -144,3 +144,67 @@ def test_batch_encoder_bytes_identical_to_per_chunk(chunks, seed):
                 encode_timestamps(ts_all[s:e]), vals[m][s:e]
             )
             assert got[m][j] == want, (m, j, chunks)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=40,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_decode_blobs_many_matches_scalar_decode(sizes, rnd):
+    """The batch (segmented-scan) decoder must agree bit-for-bit with
+    the per-blob scalar decoder on arbitrary blob mixes — including
+    runs of n==1 blobs at the head (the empty-delta-segment edge)."""
+    from tsforge_spark.codec.gorilla import decode_blobs_many
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    blobs, ref = [], []
+    for n in sizes:
+        ts = np.cumsum(rng.integers(1, 10_000_000, size=n)).astype(
+            np.int64
+        )
+        vals = np.where(
+            rng.random(n) < 0.4,
+            rng.integers(-3, 3, n).astype(np.float64),
+            rng.normal(0, 1e8, n),
+        )
+        blobs.append(encode_series(ts, vals))
+        ref.append((ts, vals))
+    out_ts, out_vals, lens = decode_blobs_many(blobs)
+    assert (lens == np.array([len(t) for t, _ in ref])).all()
+    assert (out_ts == np.concatenate([t for t, _ in ref])).all()
+    want = np.concatenate([v for _, v in ref])
+    assert (out_vals.view(np.uint64) == want.view(np.uint64)).all()
+    # and each blob individually agrees with decode_series
+    p = 0
+    for b, (ts, vals) in zip(blobs, ref):
+        dt, dv = decode_series(b)
+        assert (dt == out_ts[p : p + len(ts)]).all()
+        assert (
+            dv.view(np.uint64)
+            == out_vals[p : p + len(ts)].view(np.uint64)
+        ).all()
+        p += len(ts)
+
+
+def test_decode_blobs_many_all_singletons():
+    """Regression: a batch where EVERY blob has n==1 leaves the delta
+    stream empty — the segmented-cumsum prefix gather must not index
+    into the empty array (np.where evaluates both branches)."""
+    from tsforge_spark.codec.gorilla import decode_blobs_many
+
+    blobs = [
+        encode_series(
+            np.array([10**15 + i], dtype=np.int64),
+            np.array([float(i)]),
+        )
+        for i in range(100)
+    ]
+    ts, vals, lens = decode_blobs_many(blobs)
+    assert (lens == 1).all()
+    assert (ts == 10**15 + np.arange(100)).all()
+    assert (vals == np.arange(100.0)).all()

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tsforge_spark.codec.gorilla import encode_blobs_batch, assemble_blob, decode_series, encode_timestamps
+from tsforge_spark.codec.gorilla import encode_blobs_batch, assemble_blob, decode_blobs_many, decode_series, encode_timestamps
 
 SEGMENT_TRUNC = {"1m": "day", "1h": "month", "1d": "month"}
 
@@ -175,27 +175,26 @@ def decode_blobs(blob_df: DataFrame) -> DataFrame:
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
-            # Python loop over *blobs* (one per group-chunk), never over
-            # data rows — each decode_series call is vectorized.  Batch
-            # assembly is ONE frame per Arrow batch: coarse tiers average
-            # ~1 point per blob, so a per-blob DataFrame+concat paid more
-            # pandas overhead than the decode itself (measured 23k
-            # points/s on the 1d store; this shape decodes the 1m store
-            # at ~1M points/s).
-            ts_parts, val_parts, lens = [], [], np.empty(len(pdf), dtype=np.int64)
-            for j, blob in enumerate(pdf["blob"]):
-                ts, vals = decode_series(bytes(blob))
-                ts_parts.append(ts)
-                val_parts.append(vals)
-                lens[j] = len(ts)
+            # Whole-batch vectorized decode (codec/gorilla.py
+            # decode_blobs_many): headers parse as one structured-dtype
+            # view, n<=2 blobs — the vast majority at coarse grain —
+            # decode with pure array ops, and only n>=3 blobs take the
+            # per-blob kernel.  A per-blob decode_series loop here paid
+            # ~6µs fixed cost per blob, which at ~1 point/blob on the
+            # 1h/1d stores capped serving at 168k points/s.
+            ts, vals, lens = decode_blobs_many(list(pdf["blob"]))
+            # id columns go out dictionary-encoded: repeating int32
+            # codes + one small category table beats materializing
+            # len(sum) Python-string refs and re-encoding them to Arrow
+            # (the string repeat was ~half the task-side cost at ~1
+            # point/blob; Arrow passes the dictionary through and Spark
+            # reads it as a plain string column)
             yield pd.DataFrame(
                 {
-                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), lens),
-                    "measure": np.repeat(pdf["measure"].to_numpy(), lens),
-                    "bucket": np.concatenate(ts_parts).astype(
-                        "datetime64[us]"
-                    ),
-                    "value": np.concatenate(val_parts),
+                    "conv_id": pd.Categorical(pdf["conv_id"]).repeat(lens),
+                    "measure": pd.Categorical(pdf["measure"]).repeat(lens),
+                    "bucket": ts.astype("datetime64[us]"),
+                    "value": vals,
                 }
             )
 

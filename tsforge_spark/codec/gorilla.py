@@ -40,6 +40,17 @@ import numpy as np
 
 _MAGIC = b"TSG1"
 _HEADER = struct.Struct("<4sIqqQII")
+_HDR_DTYPE = np.dtype(
+    [
+        ("magic", "S4"),
+        ("n", "<u4"),
+        ("first_ts", "<i8"),
+        ("first_delta", "<i8"),
+        ("first_bits", "<u8"),
+        ("tp_len", "<u4"),
+        ("vp_len", "<u4"),
+    ]
+)
 
 
 def _pack_bytes(b: np.ndarray, tz: np.ndarray, sl: np.ndarray) -> np.ndarray:
@@ -205,6 +216,142 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     ts = decode_timestamps(tc, tp, first_ts, first_delta, n)
     vals = decode_values(vc, vp, np.uint64(first_bits), n)
     return ts, vals
+
+
+def decode_blobs_many(
+    blobs: list,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized multi-blob decode → (timestamps, values, per-blob
+    lengths), concatenated in input order — NO per-blob Python.
+
+    Coarse tiers (1h/1d month segments over mostly sub-hour
+    conversations) average a point or two per blob, so any per-blob
+    fixed cost dominates the decode: the per-blob ``decode_series``
+    loop measured ~6µs/blob of header-unpack + slice + frombuffer
+    overhead (168k rows/s on the full 1h store), and even a loop
+    restricted to n≥3 blobs still capped the batch at ~200k rows/s.
+    Here every stage crosses ALL blobs in the Arrow batch at once:
+
+    - headers parse as one structured-dtype view;
+    - the per-blob ctrl/payload streams concatenate with one
+      fancy-index gather each (``_gather_slices``) and funnel through
+      ONE ``_unpack_bytes`` call per stream kind — per-row (tz, sl)
+      alignment is preserved because both ctrl bytes and packed
+      payload bytes are stored in the same blob order;
+    - the XOR value chains and the delta-of-delta timestamp chains
+      resolve with SEGMENTED prefix scans: one global
+      ``bitwise_xor.accumulate`` / ``cumsum`` plus a per-segment
+      prefix fix-up (XOR / subtract the running value just before
+      each blob's first element), which turns "per-blob accumulate"
+      into three O(total) array ops.
+    """
+    m = len(blobs)
+    if m == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, np.empty(0, dtype=np.float64), empty
+    H = _HEADER.size
+    blob_lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=m)
+    offs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(blob_lens, out=offs[1:])
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    hdr = np.ascontiguousarray(
+        buf[offs[:-1, None] + np.arange(H)]
+    ).view(_HDR_DTYPE).reshape(m)
+    if not (hdr["magic"] == _MAGIC).all():
+        raise ValueError("bad blob magic")
+    n = hdr["n"].astype(np.int64)
+    if (n == 0).any():  # empty blobs contribute no rows; drop them
+        keep = n > 0
+        kept = [b for b, k in zip(blobs, keep) if k]
+        ts_k, vals_k, lens_k = decode_blobs_many(kept)
+        lens = np.zeros(m, dtype=np.int64)
+        lens[keep] = lens_k
+        return ts_k, vals_k, lens
+    first_ts = hdr["first_ts"].astype(np.int64)
+    first_delta = hdr["first_delta"].astype(np.int64)
+    first_bits = hdr["first_bits"].astype(np.uint64)
+    tp_len = hdr["tp_len"].astype(np.int64)
+    vp_len = hdr["vp_len"].astype(np.int64)
+    tc_len = np.maximum(n - 2, 0)
+    vc_len = n - 1  # deltas per blob (n>=1 here)
+
+    off = offs[:-1]
+    tc_start = off + H
+    tp_start = tc_start + tc_len
+    vc_start = tp_start + tp_len
+    vp_start = vc_start + vc_len
+
+    total = int(n.sum())
+    pos = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(n, out=pos[1:])
+    p0 = pos[:-1]
+    rest = np.ones(total, dtype=bool)  # non-first positions per blob
+    rest[p0] = False
+
+    # ---- values: u[0]=first_bits, u[i]=u[i-1]^x[i-1], via one global
+    # XOR scan + per-segment prefix fix
+    vc_all = _gather_slices(buf, vc_start, vc_len).astype(np.int64)
+    x = _unpack_bytes(
+        _gather_slices(buf, vp_start, vp_len), vc_all >> 4, vc_all & 0x0F
+    )
+    w = np.empty(total, dtype=np.uint64)
+    w[p0] = first_bits
+    w[rest] = x
+    np.bitwise_xor.accumulate(w, out=w)
+    pref = np.zeros(m, dtype=np.uint64)
+    pref[1:] = w[p0[1:] - 1]
+    out_u = w ^ np.repeat(pref, n)
+
+    # ---- timestamps: d = [first_delta, unzigzag(dod)...]; two
+    # segmented cumsums (dod → deltas → offsets), then first_ts + offs
+    if total == m:  # every blob is a single point — no delta stream
+        out_ts = first_ts.copy()
+        return out_ts, out_u.view(np.float64), n
+    sl_t = _gather_slices(buf, tc_start, tc_len).astype(np.int64)
+    z = _unpack_bytes(
+        _gather_slices(buf, tp_start, tp_len),
+        np.zeros(len(sl_t), dtype=np.int64),
+        sl_t,
+    )
+    dod = _unzigzag(z)
+    nd = vc_len  # segment lengths of the delta stream (n-1)
+    totd = total - m
+    dpos = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(nd, out=dpos[1:])
+    q0 = dpos[:-1][nd > 0]  # position of each blob's first delta
+    d = np.empty(totd, dtype=np.int64)
+    d[q0] = first_delta[nd > 0]
+    drest = np.ones(totd, dtype=bool)
+    drest[q0] = False
+    d[drest] = dod
+    for _ in range(2):  # dod→deltas, then deltas→offsets from first_ts
+        np.cumsum(d, out=d)
+        # subtract the running sum up to the previous segment's end;
+        # dpos[j]==0 means every earlier segment was empty (n==1
+        # blobs), where the prefix is 0 — NOT d[-1]
+        base = np.zeros(m, dtype=np.int64)
+        if m > 1:
+            idx = dpos[1:-1]
+            base[1:] = np.where(idx > 0, d[idx - 1], 0)
+        d = d - np.repeat(base, nd)
+    out_ts = np.empty(total, dtype=np.int64)
+    out_ts[p0] = first_ts
+    out_ts[rest] = np.repeat(first_ts, nd) + d
+    return out_ts, out_u.view(np.float64), n
+
+
+def _gather_slices(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Concatenate variable-length ``buf[starts[i]:starts[i]+lens[i]]``
+    slices with one fancy-index gather (no per-slice Python)."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.uint8)
+    co = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=co[1:])
+    idx = np.repeat(starts - co, lens) + np.arange(tot, dtype=np.int64)
+    return buf[idx]
 
 
 def encode_blobs_batch(
