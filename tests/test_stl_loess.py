@@ -127,3 +127,40 @@ def test_stl_spark_surface(spark):
             g["value"].to_numpy(), p, seasonal=7
         )
         assert np.allclose(g["trend"].to_numpy(), T, atol=1e-12)
+
+
+def test_decomposition_precompute_consumer_path(spark):
+    """The plot-facing consumer: top-k select → zero-filled regular
+    grid → loess STL → long component frame.  Mirrors how the
+    reference feeds STL into its decomposition chart
+    (plots/charts/plot_decomposition.py:23-97)."""
+    from pyspark.sql import functions as F
+
+    from tsforge_spark.operators.stl_loess import decomposition_precompute
+
+    n, p = 24 * 8, 24
+    t = np.arange(n)
+    ts = pd.date_range("2025-03-01", periods=n, freq="h")
+    rows = []
+    # three users with distinct magnitudes; "small" must NOT survive
+    # the top-2 cut
+    for uid, scale in (("big", 100.0), ("mid", 10.0), ("small", 1.0)):
+        y = scale * (2 + np.sin(2 * np.pi * t / p))
+        rows.append(pd.DataFrame({"user_id": uid, "ts": ts, "value": y}))
+    df = spark.createDataFrame(pd.concat(rows))
+    out = decomposition_precompute(
+        df, "user_id", "ts", "value", freq="1h", period=p, top_k=2
+    ).toPandas()
+
+    assert set(out["user_id"]) == {"big", "mid"}
+    assert set(out["component"]) == {"value", "trend", "seasonal", "resid"}
+    # 4 components per (id, bucket) grid point
+    assert len(out) == 2 * n * 4
+    wide = out.pivot_table(
+        index=["user_id", "bucket"], columns="component", values="y"
+    ).reset_index()
+    ok = wide.dropna()
+    assert len(ok) > 0
+    assert np.allclose(
+        ok["trend"] + ok["seasonal"] + ok["resid"], ok["value"], atol=1e-9
+    )

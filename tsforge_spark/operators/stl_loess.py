@@ -220,3 +220,55 @@ def stl_decompose_loess(
     return df.select(id_col, ts_col, value_col).groupBy(id_col).applyInPandas(
         kernel, schema=out_schema
     )
+
+
+def decomposition_precompute(
+    df,
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    freq: str = "1h",
+    period: int = 24,
+    top_k: int = 3,
+    seasonal: int = 7,
+    outer: int = 0,
+):
+    """Loess-decomposition plot pre-compute — the consumer path that
+    mirrors how the reference feeds its STL into the decomposition
+    chart (plots/charts/plot_decomposition.py:23-97): pick the top_k
+    series by total value, zero-fill each onto its regular ``freq``
+    grid, run the full Cleveland-1990 loess STL per series, and return
+    the long component frame a faceted plot consumes: (id, bucket,
+    component ∈ {value, trend, seasonal, resid}, y).
+
+    Scale shape: the top-k id set broadcasts (k rows); the bucket
+    rollup and the grouped STL kernel are the only shuffles (both on
+    ``id_col``); ``stack`` multiplies rows map-side, after the kernel,
+    so no component-wise re-shuffle."""
+    from pyspark.sql import functions as F
+
+    from tsforge_spark.operators.gapfill import complete_grid
+    from tsforge_spark.operators.rollup import bucket_expr
+
+    bucketed = df.groupBy(
+        F.col(id_col), bucket_expr(ts_col, freq).alias("bucket")
+    ).agg(F.sum(value_col).alias("_v"))
+    totals = bucketed.groupBy(id_col).agg(F.sum("_v").alias("_tot"))
+    top = totals.orderBy(F.desc("_tot"), F.asc(id_col)).limit(top_k)
+    sel = bucketed.join(F.broadcast(top.select(id_col)), id_col)
+    grid = complete_grid(sel, id_col, "bucket", freq)
+    filled = grid.join(sel, [id_col, "bucket"], "left").select(
+        id_col, "bucket", F.coalesce("_v", F.lit(0.0)).alias("value")
+    )
+    comp = stl_decompose_loess(
+        filled, id_col, "bucket", "value",
+        period=period, seasonal=seasonal, outer=outer,
+    )
+    return comp.select(
+        F.col(id_col),
+        "bucket",
+        F.expr(
+            "stack(4, 'value', value, 'trend', trend, "
+            "'seasonal', seasonal, 'resid', resid) AS (component, y)"
+        ),
+    )
