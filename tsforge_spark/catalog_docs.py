@@ -98,10 +98,11 @@ def q_minhash_lsh_jaccard(spark, sf_dir):
     """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
     exact shingle-Jaccard verification; keep pairs with jaccard ≥ 0.2.
 
-    One base md5 per shingle feeds both the signature (integer-mix
-    variants, minhash_table) and the band keys, so the cold-plan Janino
-    codegen pays for ONE md5 tree instead of eight; data cost scales
-    with docs×shingles, not pairs."""
+    One base md5 per shingle feeds the signature (integer-mix
+    variants, minhash_table) and the bands key on the raw numeric
+    (band_no, mh…) tuples — no digest at all — so the cold-plan Janino
+    codegen pays for ONE md5 tree total; data cost scales with
+    docs×shingles, not pairs."""
     from tsforge_spark.operators.dedup import shingle_table
 
     d = _read(spark, sf_dir, "documents")
