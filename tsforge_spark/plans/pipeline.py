@@ -1099,6 +1099,16 @@ class RollupPipeline:
         return self.spark.read.parquet(self.tier_path(tier)).drop("day")
 
     def read_blobs(self, tier: str | None = None) -> DataFrame:
+        # restore any partition whose swap a crash interrupted BEFORE
+        # listing — a serving read right after a crash should see the
+        # pre-swap bytes, not a missing partition (same heal the
+        # pipeline itself runs before its carried reads and commits)
+        if os.path.isdir(self.blobs_path):
+            for sub in os.listdir(self.blobs_path):
+                if sub.startswith("tier_part="):
+                    self._heal_interrupted_swaps(
+                        os.path.join(self.blobs_path, sub)
+                    )
         df = self.spark.read.parquet(self.blobs_path)
         return df.filter(F.col("tier") == tier) if tier else df
 
