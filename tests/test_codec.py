@@ -208,3 +208,30 @@ def test_decode_blobs_many_all_singletons():
     assert (lens == 1).all()
     assert (ts == 10**15 + np.arange(100)).all()
     assert (vals == np.arange(100.0)).all()
+
+
+def test_decode_chunk_split_covers_all_rows_once():
+    """The byte-bounded splitter must partition the frame exactly —
+    every row once, in order — for hostile size mixes (one giant blob,
+    runs of tiny blobs, cap smaller than a single blob)."""
+    import pandas as pd
+
+    from tsforge_spark.codec.blobs import _split_by_bytes
+
+    rng = np.random.default_rng(9)
+    for sizes in (
+        [10, 10, 10_000, 10, 10],
+        [50_000],
+        list(rng.integers(1, 5_000, 200)),
+        [1] * 50,
+    ):
+        pdf = pd.DataFrame(
+            {"i": range(len(sizes)), "blob": [b"x" * s for s in sizes]}
+        )
+        for cap in (1, 100, 7_000, 10**9):
+            parts = list(_split_by_bytes(pdf, cap))
+            got = pd.concat(parts, ignore_index=True)
+            assert got["i"].tolist() == list(range(len(sizes))), (
+                sizes, cap,
+            )
+            assert all(len(p) >= 1 for p in parts)

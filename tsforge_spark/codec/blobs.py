@@ -23,6 +23,15 @@ from tsforge_spark.codec.gorilla import encode_blobs_batch, assemble_blob, decod
 
 SEGMENT_TRUNC = {"1m": "day", "1h": "month", "1d": "month"}
 
+# decode-kernel sub-batch cap (bytes of blob payload per
+# decode_blobs_many call) — see decode_blobs.  Env-tunable so tests can
+# force the split path (the executor workers re-read the env on import).
+import os as _os
+
+_DECODE_CHUNK_BYTES = int(
+    _os.environ.get("TSF_DECODE_CHUNK_BYTES", str(64 << 20))
+)
+
 BLOB_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -168,34 +177,65 @@ def read_series(
     )
 
 
+def _split_by_bytes(pdf: pd.DataFrame, cap: int):
+    """Yield consecutive row slices of ``pdf`` whose cumulative blob
+    bytes stay ≈ ``cap`` each (always ≥1 row per slice; one slice when
+    the whole frame fits)."""
+    sizes = pdf["blob"].map(len).to_numpy(dtype=np.int64)
+    total = int(sizes.sum())
+    if total <= cap:
+        yield pdf
+        return
+    cuts = np.searchsorted(
+        np.cumsum(sizes), np.arange(cap, total, cap)
+    )
+    prev = 0
+    for c in list(cuts) + [len(pdf)]:
+        c = min(max(int(c), prev + 1), len(pdf))
+        if prev < len(pdf):
+            yield pdf.iloc[prev:c]
+        prev = c
+
+
 def decode_blobs(blob_df: DataFrame) -> DataFrame:
     """Blob table → long decoded series (for verification / serving)."""
 
     def decode(iterator):
-        for pdf in iterator:
-            if len(pdf) == 0:
+        # Bound peak kernel memory per sub-batch: the vectorized decoder
+        # concatenates every blob in its input into one buffer, so a
+        # 64k-row Arrow batch of DENSE blobs (1m day segments, ~10KB
+        # each) would join ~700MB before decoding.  Split on cumulative
+        # blob bytes; coarse-tier batches (~20B/blob) pass through as
+        # one chunk.
+        for full in iterator:
+            if len(full) == 0:
                 continue
-            # Whole-batch vectorized decode (codec/gorilla.py
-            # decode_blobs_many): headers parse as one structured-dtype
-            # view, n<=2 blobs — the vast majority at coarse grain —
-            # decode with pure array ops, and only n>=3 blobs take the
-            # per-blob kernel.  A per-blob decode_series loop here paid
-            # ~6µs fixed cost per blob, which at ~1 point/blob on the
-            # 1h/1d stores capped serving at 168k points/s.
-            ts, vals, lens = decode_blobs_many(list(pdf["blob"]))
-            # id columns go out dictionary-encoded: repeating int32
-            # codes + one small category table beats materializing
-            # len(sum) Python-string refs and re-encoding them to Arrow
-            # (the string repeat was ~half the task-side cost at ~1
-            # point/blob; Arrow passes the dictionary through and Spark
-            # reads it as a plain string column)
-            yield pd.DataFrame(
-                {
-                    "conv_id": pd.Categorical(pdf["conv_id"]).repeat(lens),
-                    "measure": pd.Categorical(pdf["measure"]).repeat(lens),
-                    "bucket": ts.astype("datetime64[us]"),
-                    "value": vals,
-                }
+            yield from (
+                _decode_one(pdf)
+                for pdf in _split_by_bytes(full, _DECODE_CHUNK_BYTES)
             )
+
+    def _decode_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Whole-chunk vectorized decode (codec/gorilla.py
+        # decode_blobs_many): headers parse as one structured-dtype
+        # view, chains resolve as segmented scans — no per-blob Python.
+        # A per-blob decode_series loop here paid ~6µs fixed cost per
+        # blob, which at ~1 point/blob on the 1h/1d stores capped
+        # serving at 168k points/s.
+        ts, vals, lens = decode_blobs_many(list(pdf["blob"]))
+        # id columns go out dictionary-encoded: repeating int32 codes +
+        # one small category table beats materializing sum(n)
+        # Python-string refs and re-encoding them to Arrow (the string
+        # repeat was ~half the task-side cost at ~1 point/blob; Arrow
+        # passes the dictionary through and Spark reads it as a plain
+        # string column)
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Categorical(pdf["conv_id"]).repeat(lens),
+                "measure": pd.Categorical(pdf["measure"]).repeat(lens),
+                "bucket": ts.astype("datetime64[us]"),
+                "value": vals,
+            }
+        )
 
     return blob_df.mapInPandas(decode, schema=DECODED_SCHEMA)

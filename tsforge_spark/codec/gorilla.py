@@ -344,10 +344,23 @@ def _gather_slices(
     buf: np.ndarray, starts: np.ndarray, lens: np.ndarray
 ) -> np.ndarray:
     """Concatenate variable-length ``buf[starts[i]:starts[i]+lens[i]]``
-    slices with one fancy-index gather (no per-slice Python)."""
+    slices.
+
+    Two regimes: many TINY slices (coarse tiers, ~1 point/blob) use one
+    fancy-index gather — no per-slice Python; fewer LONG slices (dense
+    1m day segments, ~1.4k points/blob) use per-slice views + one
+    concatenate, because the index array costs 8 bytes per payload
+    BYTE and would dwarf the payload itself (a 64k-blob dense batch
+    would materialize a multi-GB index for a ~700MB payload)."""
     tot = int(lens.sum())
     if tot == 0:
         return np.empty(0, dtype=np.uint8)
+    if tot >= 32 * len(lens):
+        sl = starts.tolist()
+        ll = lens.tolist()
+        return np.concatenate(
+            [buf[s : s + l] for s, l in zip(sl, ll)]
+        )
     co = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=co[1:])
     idx = np.repeat(starts - co, lens) + np.arange(tot, dtype=np.int64)
