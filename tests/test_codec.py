@@ -235,3 +235,15 @@ def test_decode_chunk_split_covers_all_rows_once():
                 sizes, cap,
             )
             assert all(len(p) >= 1 for p in parts)
+
+
+def test_encode_bucket_count_scales_with_cells_hint():
+    """The encode group count must grow with the bounded cell count so
+    per-group pandas frames stay ~2M cells at any data scale, while
+    small inputs keep the 4-waves-per-core default."""
+    from tsforge_spark.codec.blobs import _default_n_buckets
+
+    assert _default_n_buckets(32, None) == 128
+    assert _default_n_buckets(32, 1_000_000) == 128  # small: unchanged
+    assert _default_n_buckets(32, 10_000_000_000) == 5_000
+    assert _default_n_buckets(2, None) == 16  # floor

@@ -55,11 +55,27 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+def _default_n_buckets(parallelism: int, cells_hint: int | None) -> int:
+    """Encode-bucket count: ~4 waves of groups per core (packs
+    Pareto-skewed group sizes without per-group overhead dominating),
+    AND — when the caller can bound the cell count cheaply — at most
+    ~2M cells per group.  A bucket's group loads WHOLE into one pandas
+    frame, and cells/bucket grows with data at fixed parallelism, so
+    without the cap a full-history rebuild at 100× data OOMs the
+    executors instead of just adding waves.  The pipeline passes its
+    footer-derived turn count (tier cells ≤ turns) on first runs."""
+    n = max(parallelism * 4, 16)
+    if cells_hint is not None:
+        n = max(n, int(cells_hint) // 2_000_000)
+    return n
+
+
 def encode_tier_blobs(
     tier_df: DataFrame,
     tier: str,
     measures: tuple[str, ...] = ("turns", "tool_calls"),
     n_buckets: int | None = None,
+    cells_hint: int | None = None,
 ) -> DataFrame:
     """Encode tier cells into per-(conv, segment, measure) blobs.
 
@@ -74,10 +90,8 @@ def encode_tier_blobs(
     """
 
     if n_buckets is None:
-        # ~4 waves of encode groups per core: packs Pareto-skewed group
-        # sizes without per-group overhead dominating
         sc = tier_df.sparkSession.sparkContext
-        n_buckets = max(sc.defaultParallelism * 4, 16)
+        n_buckets = _default_n_buckets(sc.defaultParallelism, cells_hint)
 
     cols = [
         "conv_id", "segment", "tier", "measure",

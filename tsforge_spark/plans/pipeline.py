@@ -519,6 +519,7 @@ class RollupPipeline:
         affected_days,
         prune_convs: bool,
         delta_convs,
+        cells_hint: int | None = None,
     ) -> int:
         """Re-encode the affected (tier, segment) blob chunks for a
         GROUP of tiers and commit them (stage → atomic per-partition
@@ -571,7 +572,10 @@ class RollupPipeline:
                 affected = affected.filter(
                     F.col("conv_id").isin(delta_convs)
                 )
-            blobs = encode_tier_blobs(affected.drop("day"), tier, self.measures)
+            blobs = encode_tier_blobs(
+                affected.drop("day"), tier, self.measures,
+                cells_hint=cells_hint,
+            )
             blobs = blobs.withColumn("seg_day", F.to_date("segment")).withColumn(
                 "tier_part", F.lit(tier)
             )
@@ -841,6 +845,11 @@ class RollupPipeline:
                     blob_bytes_box[tier] = self._encode_and_commit_blobs(
                         [tier], f"blobs_{tier}", affected_days,
                         prune_convs, delta_convs,
+                        # first runs encode FULL history, where cell
+                        # count ≈ turn count (known from footers) —
+                        # bounds encode-group size at scale; incremental
+                        # windows are day-bounded already
+                        cells_hint=n_turns if first_run else None,
                     )
                 except BaseException as e:  # noqa: BLE001 — rethrown below
                     blob_errors.append(e)
@@ -885,6 +894,9 @@ class RollupPipeline:
         blob_bytes_box["tail"] = self._encode_and_commit_blobs(
             tail_tiers, "blobs_tail", affected_days, prune_convs,
             delta_convs,
+            # coarse tiers hold ≲1/60 of the 1m cells; the turns bound
+            # still caps their group size on full-history runs
+            cells_hint=n_turns if first_run else None,
         )
         stage_sec["tier_fold"] = round(fold_sec, 2)
         stage_sec["blob_1m"] = round(blob_timings.get("blob_1m", 0.0), 2)
