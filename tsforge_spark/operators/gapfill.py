@@ -50,10 +50,47 @@ _FREQ_US = {"1m": 60e6, "1h": 3600e6, "1d": 86400e6, "1w": 7 * 86400e6}
 def complete_grid(df: DataFrame, id_col: str, time_col: str, freq: str) -> DataFrame:
     """Per-id dense bucket grid over each series' own [min, max] span —
     ``sequence() + explode`` (SURVEY.md §2.9); the timestamps must already
-    be bucket-aligned (use ``bucket_expr`` first)."""
+    be bucket-aligned (use ``bucket_expr`` first).
+
+    Fine grids (1m / 1h) explode in TWO levels — days, then buckets
+    within each day clipped to [lo, hi] — so the per-row materialized
+    array never exceeds one day (1440 / 24 elements).  A single-level
+    ``sequence(lo, hi)`` builds the whole span as one array per series
+    (a multi-year 1m series is a ~4MB array in every grid row's
+    intermediate), which does not survive the long-history tail at
+    scale.  Both _lo/_hi and the day boundaries are freq-aligned, so
+    the union of per-day sequences is exactly the single-level
+    sequence."""
     spans = df.groupBy(id_col).agg(
         F.min(time_col).alias("_lo"), F.max(time_col).alias("_hi")
     )
+    if freq in ("1m", "1h"):
+        step = _FREQ_INTERVAL[freq]
+        day_last = (
+            "interval 23 hours 59 minutes"
+            if freq == "1m"
+            else "interval 23 hours"
+        )
+        days = spans.select(
+            F.col(id_col),
+            "_lo",
+            "_hi",
+            F.explode(
+                F.expr(
+                    "sequence(date_trunc('day', _lo), "
+                    "date_trunc('day', _hi), interval 1 day)"
+                )
+            ).alias("_d"),
+        )
+        return days.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(_d, _lo), "
+                    f"least(_d + {day_last}, _hi), {step})"
+                )
+            ).alias(time_col),
+        )
     return spans.select(
         F.col(id_col),
         F.explode(
