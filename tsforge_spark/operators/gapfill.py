@@ -193,12 +193,15 @@ def fill_gaps(
     grid = complete_grid(df.select(id_col, time_col), id_col, time_col, freq)
     out = grid.join(df, [id_col, time_col], "left")
 
-    # Replicate static covariates into gap rows: dedup per id + broadcast
-    # join (``fill_gaps.py:76-81``) — statics are one row per id, always
-    # broadcastable.
+    # Replicate static covariates into gap rows: dedup per id + join
+    # (``fill_gaps.py:76-81``).  No forced broadcast hint: statics are
+    # one row per id, which is small for typical panels but NOT
+    # broadcastable at 100M+ ids — let AQE pick (it broadcasts when the
+    # dedup'd side measures small; otherwise the join lands on the same
+    # id partitioning the window fills below already shuffle to).
     if static_cols:
         statics = df.select(id_col, *static_cols).dropDuplicates([id_col])
-        out = out.drop(*static_cols).join(F.broadcast(statics), id_col, "left")
+        out = out.drop(*static_cols).join(statics, id_col, "left")
 
     if target_col is not None:
         tf = target_fill
