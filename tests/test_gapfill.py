@@ -147,3 +147,60 @@ def test_locf_helper(spark):
     )
     assert out[0] is None or np.isnan(out[0])
     assert out[1:] == [1.0, 1.0, 2.0]
+
+
+def test_complete_grid_two_level_matches_single_sequence_any_tz(spark):
+    """The chunked (physical-24h-window) fine-freq grid must equal the
+    single-level sequence in ANY session timezone — calendar-day
+    chunking breaks under DST shifts (America/New_York) and non-:00
+    bucket phases (+05:30 truncation); the windows are therefore
+    anchored at _lo in pure microsecond arithmetic."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsforge_spark.operators.gapfill import _FREQ_INTERVAL, complete_grid
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    pdf = pd.DataFrame(
+        {
+            "id": ["a", "a", "b", "b", "c", "c"],
+            "t": pd.to_datetime(
+                [
+                    "2025-03-08 07:23:00", "2025-03-10 15:00:00",
+                    "2025-11-01 00:00:00", "2025-11-03 12:02:00",
+                    "2024-12-31 23:59:00", "2025-01-01 00:01:00",
+                ]
+            ),
+        }
+    )
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = spark.createDataFrame(pdf)
+            for freq, unit in (("1h", "hour"), ("1m", "minute")):
+                src = df.select(
+                    "id", F.date_trunc(unit, "t").alias("t")
+                )
+                got = (
+                    complete_grid(src, "id", "t", freq)
+                    .orderBy("id", "t")
+                    .toPandas()
+                )
+                spans = src.groupBy("id").agg(
+                    F.min("t").alias("_lo"), F.max("t").alias("_hi")
+                )
+                want = (
+                    spans.select(
+                        "id",
+                        F.explode(
+                            F.expr(
+                                f"sequence(_lo, _hi, {_FREQ_INTERVAL[freq]})"
+                            )
+                        ).alias("t"),
+                    )
+                    .orderBy("id", "t")
+                    .toPandas()
+                )
+                pd.testing.assert_frame_equal(got, want), (tz, freq)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -65,29 +65,42 @@ def complete_grid(df: DataFrame, id_col: str, time_col: str, freq: str) -> DataF
         F.min(time_col).alias("_lo"), F.max(time_col).alias("_hi")
     )
     if freq in ("1m", "1h"):
+        # The chunk windows are PHYSICAL 24h spans anchored at _lo in
+        # pure microsecond arithmetic — window k covers
+        # [lo + k·24h, lo + (k+1)·24h).  NOT calendar days: date_trunc
+        # and interval-day steps are session-timezone dependent, and
+        # under a DST-shifting zone the union of calendar-day sequences
+        # does not equal the single-level sequence (probed:
+        # America/New_York across both 2025 DST transitions); anchoring
+        # at _lo rather than the epoch also keeps buckets whose PHASE
+        # is not :00-aligned exact (a +05:30 session truncates hours to
+        # :30 physical offsets).  Window starts are lo + multiples of
+        # 24h ≡ lo (mod any sub-day step), so the clipped per-window
+        # sequences union to exactly the single-level grid in ANY
+        # session timezone.
         step = _FREQ_INTERVAL[freq]
-        day_last = (
-            "interval 23 hours 59 minutes"
-            if freq == "1m"
-            else "interval 23 hours"
-        )
+        step_us = int(_FREQ_US[freq])
+        day_us = 86_400_000_000
         days = spans.select(
             F.col(id_col),
             "_lo",
             "_hi",
             F.explode(
                 F.expr(
-                    "sequence(date_trunc('day', _lo), "
-                    "date_trunc('day', _hi), interval 1 day)"
+                    f"sequence(0L, (unix_micros(_hi) - unix_micros(_lo))"
+                    f" div {day_us})"
                 )
-            ).alias("_d"),
+            ).alias("_k"),
         )
+        win = f"(unix_micros(_lo) + _k * {day_us})"
         return days.select(
             F.col(id_col),
             F.explode(
                 F.expr(
-                    f"sequence(greatest(_d, _lo), "
-                    f"least(_d + {day_last}, _hi), {step})"
+                    f"sequence("
+                    f"timestamp_micros({win}), "
+                    f"timestamp_micros(least({win} + {day_us - step_us}, "
+                    f"unix_micros(_hi))), {step})"
                 )
             ).alias(time_col),
         )
