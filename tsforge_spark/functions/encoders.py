@@ -28,15 +28,16 @@ def target_mean_encode(
     gmean = df.agg(F.avg(target_col)).collect()[0][0]
     w = F.col("_gcnt") / (F.col("_gcnt") + F.lit(smoothing))
     enc = stats.withColumn(out_col, w * F.col("_gmean") + (1 - w) * F.lit(gmean))
-    return df.join(
-        F.broadcast(enc.select(cat_col, out_col)), cat_col, "left"
-    )
+    # no forced broadcast: the encoding frame is one row per category,
+    # tiny for typical cats but unbounded in principle — AQE still
+    # broadcasts when the aggregated side measures small
+    return df.join(enc.select(cat_col, out_col), cat_col, "left")
 
 
 def frequency_encode(df: DataFrame, cat_col: str, out_col: str | None = None) -> DataFrame:
     out_col = out_col or f"{cat_col}_freq"
     freq = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias(out_col))
-    return df.join(F.broadcast(freq), cat_col, "left")
+    return df.join(freq, cat_col, "left")
 
 
 def one_hot_encode(
@@ -66,7 +67,7 @@ def ordinal_encode_by_freq(df: DataFrame, cat_col: str, out_col: str | None = No
     freq = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("_n"))
     w = Window.orderBy(F.desc("_n"), F.asc(cat_col))
     ranks = freq.withColumn(out_col, F.row_number().over(w) - 1).drop("_n")
-    return df.join(F.broadcast(ranks), cat_col, "left")
+    return df.join(ranks, cat_col, "left")
 
 
 def hash_encode(
