@@ -50,6 +50,53 @@ def test_loess_matches_naive_reference():
         ), span
 
 
+def test_loess_njump_affine_exact():
+    # linear interpolation between exact affine fits is still affine
+    y = 3.0 * np.arange(50) + 2.0
+    for j in (2, 3, 5, 11, 49):
+        assert np.allclose(loess_smooth(y, 13, n_jump=j), y, atol=1e-9), j
+
+
+def test_loess_njump_close_to_dense():
+    rng = np.random.default_rng(11)
+    y = np.cumsum(rng.normal(size=200))
+    dense = loess_smooth(y, 31)
+    for j in (2, 4, 8):
+        sk = loess_smooth(y, 31, n_jump=j)
+        # fitted points are identical; interpolated ones close
+        assert np.allclose(sk[::j], dense[::j], atol=1e-12)
+        assert np.abs(sk - dense).max() < 0.25 * np.std(y), j
+
+
+def test_loess_batch_matches_rows():
+    # 2-D input: row r == the 1-D call on y[r], bit-for-bit
+    rng = np.random.default_rng(5)
+    Y = rng.normal(size=(6, 37))
+    Rho = rng.uniform(0.2, 1.0, size=(6, 37))
+    for span, rho in ((7, None), (15, Rho), (37, Rho)):
+        got = loess_smooth(Y, span, rho)
+        for r in range(Y.shape[0]):
+            want = loess_smooth(Y[r], span, None if rho is None else rho[r])
+            # 1-ulp slack: numpy's pairwise-sum blocking may differ
+            # between the 2-D and 1-D reduce paths
+            assert np.allclose(got[r], want, atol=1e-12), (span, r)
+
+
+def test_stl_jump_close_to_dense():
+    rng = np.random.default_rng(13)
+    n, p = 24 * 20, 24
+    t = np.arange(n)
+    y = 0.05 * t + 3 * np.sin(2 * np.pi * t / p) + rng.normal(0, 0.3, n)
+    Td, Sd, _ = stl_loess(y, p, seasonal=7)
+    for j in (2, 4):
+        Tj, Sj, Rj = stl_loess(y, p, seasonal=7, jump=j)
+        assert np.allclose(Tj + Sj + Rj, y, atol=1e-12)  # exact closure
+        # statsmodels-style tolerance: the skipped fit tracks the dense
+        # one to well under the noise scale
+        assert np.abs(Tj - Td).max() < 0.15, j
+        assert np.abs(Sj - Sd).max() < 0.15, j
+
+
 def test_loess_robustness_weights_downweight_outlier():
     y = np.zeros(60)
     y[30] = 100.0

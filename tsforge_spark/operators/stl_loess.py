@@ -20,8 +20,15 @@ closed-form weighted-linear-regression pass over strided windows.
 Deviations from statsmodels' STL (documented, deliberate):
 - evaluation grid is the regular sample index (STL's original setting;
   our tier grids are regular by construction — gapfill first);
-- no jump/skip optimizations (n_jump=1 everywhere);
 - low-pass loess span = smallest odd ≥ period (the paper's n_l).
+
+Jump/skip (Cleveland §3.3's n_jump speedup) IS implemented: pass
+``n_jump > 1`` to fit every k-th grid point and linearly interpolate
+between fits — identical to statsmodels' ``seasonal_jump`` /
+``trend_jump`` / ``low_pass_jump``.  Defaults are 1 (exact dense fit,
+the tested-exact path); ``stl_loess(..., jump=k)`` applies the skip to
+the long-series smoothers (trend + low-pass) where the work lives,
+leaving the short cycle-subseries fits dense.
 """
 
 from __future__ import annotations
@@ -35,7 +42,10 @@ def _odd_at_least(n: int) -> int:
 
 
 def loess_smooth(
-    y: np.ndarray, span: int, rho: np.ndarray | None = None
+    y: np.ndarray,
+    span: int,
+    rho: np.ndarray | None = None,
+    n_jump: int = 1,
 ) -> np.ndarray:
     """Degree-1 loess over the regular grid x = 0..n-1, evaluated at
     every grid point.
@@ -47,20 +57,40 @@ def loess_smooth(
     no per-point Python loop.  ``rho``: optional robustness weights
     (multiplied into the tricube weights).
 
+    ``n_jump`` > 1 fits only every n_jump-th grid point (plus the last)
+    and linearly interpolates between fits — Cleveland 1990 §3.3's
+    standard speedup, the same knob statsmodels exposes as
+    ``*_jump``.  n_jump=1 is the exact dense fit.
+
+    ``y`` may be 2-D ``(k, n)``: k independent same-length series
+    smoothed in ONE vectorized pass (the cycle-subseries batcher in
+    ``stl_loess`` relies on this — p separate calls on ~n/p-point
+    subseries are pure numpy-dispatch overhead).  ``rho`` then has the
+    same shape.  Row r of the output equals ``loess_smooth(y[r], span,
+    rho[r])`` exactly (every reduction is per-row along the last axis).
+
     Exactness property used by tests: a degree-1 weighted fit
-    reproduces any affine series exactly, independent of the weights.
+    reproduces any affine series exactly, independent of the weights
+    (and linear interpolation preserves affinity, so this holds for
+    every n_jump).
     """
     y = np.asarray(y, dtype=np.float64)
-    n = len(y)
+    n = y.shape[-1]
     if n == 0:
         return y.copy()
     q = min(max(int(span), 2), n)
-    starts = np.clip(np.arange(n) - (q - 1) // 2, 0, n - q)
+    if n_jump > 1 and n > 2:
+        pts = np.arange(0, n, int(n_jump))
+        if pts[-1] != n - 1:
+            pts = np.append(pts, n - 1)
+    else:
+        pts = np.arange(n)
+    starts = np.clip(pts - (q - 1) // 2, 0, n - q)
     # windowed views: rows i -> y[starts[i] : starts[i]+q]
     idx = starts[:, None] + np.arange(q)[None, :]
-    yw = y[idx]
+    yw = y[..., idx]
     xw = idx.astype(np.float64)
-    x0 = np.arange(n, dtype=np.float64)[:, None]
+    x0 = pts.astype(np.float64)[:, None]
     d = np.abs(xw - x0)
     dmax = d.max(axis=1, keepdims=True)
     # tricube over distance/dmax; dmax==0 only when q covers one point
@@ -69,19 +99,22 @@ def loess_smooth(
     w = np.clip(1.0 - u**3, 0.0, None) ** 3
     # the farthest point gets weight 0; guard the all-zero row (q=2)
     if rho is not None:
-        w = w * np.asarray(rho, dtype=np.float64)[idx]
-    wsum = w.sum(axis=1)
+        w = w * np.asarray(rho, dtype=np.float64)[..., idx]
+    elif y.ndim > 1:
+        w = np.broadcast_to(w, yw.shape)
+    wsum = w.sum(axis=-1)
     degenerate = wsum <= 0
     if degenerate.any():
+        w = np.array(w)
         w[degenerate] = 1.0
-        wsum = w.sum(axis=1)
+        wsum = w.sum(axis=-1)
     # closed-form weighted linear fit per row, evaluated at x0
     xc = xw - x0  # center at the eval point: prediction = intercept
     s0 = wsum
-    s1 = (w * xc).sum(axis=1)
-    s2 = (w * xc * xc).sum(axis=1)
-    sy = (w * yw).sum(axis=1)
-    sxy = (w * xc * yw).sum(axis=1)
+    s1 = (w * xc).sum(axis=-1)
+    s2 = (w * xc * xc).sum(axis=-1)
+    sy = (w * yw).sum(axis=-1)
+    sxy = (w * xc * yw).sum(axis=-1)
     det = s0 * s2 - s1 * s1
     # fall back to weighted mean where the design is singular
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -90,6 +123,11 @@ def loess_smooth(
             (s2 * sy - s1 * sxy) / det,
             sy / s0,
         )
+    if len(pts) != n:
+        grid = np.arange(n, dtype=np.float64)
+        if beta0.ndim == 1:
+            return np.interp(grid, pts, beta0)
+        return np.stack([np.interp(grid, pts, row) for row in beta0])
     return beta0
 
 
@@ -106,6 +144,7 @@ def stl_loess(
     trend: int | None = None,
     inner: int = 2,
     outer: int = 0,
+    jump: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full STL: returns (trend, seasonal, resid) with
     y == trend + seasonal + resid exactly (resid is the closure).
@@ -113,7 +152,10 @@ def stl_loess(
     ``seasonal``: loess span for the cycle-subseries smoother (n_s,
     odd; the paper's recommended ≥ 7).  ``trend``: n_t, default the
     paper's smallest odd ≥ 1.5·p / (1 − 1.5/n_s).  ``outer`` > 0 adds
-    robustness iterations with bisquare weights."""
+    robustness iterations with bisquare weights.  ``jump`` > 1 applies
+    Cleveland's n_jump skip to the two length-n smoothers (trend +
+    low-pass): fit every jump-th point, interpolate between — the
+    cycle-subseries fits stay dense (length n/p, nothing to save)."""
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
     p = int(period)
@@ -128,32 +170,59 @@ def stl_loess(
     T = np.zeros(n)
     S = np.zeros(n)
     rho = np.ones(n)
+    # cycle-subseries layout: detr[k::p] for k in 0..p-1 are the p
+    # subseries; pad to a full (rows, p) matrix and transpose so ALL
+    # of them smooth in one (or two) batched loess_smooth calls — the
+    # p-call loop was pure numpy-dispatch overhead (the subseries are
+    # ~n/p points each).  rem subseries have nshort+1 points, the rest
+    # nshort; the two length groups batch separately (the q-clamp and
+    # window geometry depend on the length).
+    nshort, rem = divmod(n, p)
+    mrows = nshort + (1 if rem else 0)
+    pad = mrows * p - n
+
+    def _pad_mat(v: np.ndarray) -> np.ndarray:
+        return np.pad(v, (0, pad), constant_values=np.nan).reshape(
+            mrows, p
+        ).T
+
     for _o in range(outer + 1):
+        # rho changes only per OUTER iteration — reshape once per pass
+        rho_mat = _pad_mat(rho)
         for _i in range(inner):
             detr = y - T
-            # 1. cycle-subseries loess, extended one period each side
-            C = np.empty(n + 2 * p)
-            for k in range(p):
-                sub = detr[k::p]
-                m = len(sub)
-                rsub = rho[k::p]
-                sm = loess_smooth(sub, n_s, rsub)
-                # extend one position at each end by evaluating the
-                # boundary fits one step out: reuse edge slope via a
-                # linear fit of the 2 boundary smoothed values (the
-                # standard practical extension)
-                lo = sm[0] - (sm[1] - sm[0]) if m > 1 else sm[0]
-                hi = sm[-1] + (sm[-1] - sm[-2]) if m > 1 else sm[-1]
-                C[k::p] = np.concatenate(([lo], sm, [hi]))[
-                    : len(C[k::p])
-                ]
+            # 1. cycle-subseries loess, extended one period each side.
+            # Boundary extension: one position at each end via the edge
+            # slope of the two boundary smoothed values (the standard
+            # practical extension).
+            sub_mat = _pad_mat(detr)  # row k = detr[k::p] (+NaN pad)
+            W = nshort + (3 if rem else 2)
+            E = np.full((p, W), np.nan)
+            if rem:
+                sm_l = loess_smooth(sub_mat[:rem], n_s, rho_mat[:rem])
+                E[:rem, 0] = sm_l[:, 0] - (sm_l[:, 1] - sm_l[:, 0])
+                E[:rem, 1 : mrows + 1] = sm_l
+                E[:rem, mrows + 1] = sm_l[:, -1] + (
+                    sm_l[:, -1] - sm_l[:, -2]
+                )
+            if nshort:
+                sm_s = loess_smooth(
+                    sub_mat[rem:, :nshort], n_s, rho_mat[rem:, :nshort]
+                )
+                E[rem:, 0] = sm_s[:, 0] - (sm_s[:, 1] - sm_s[:, 0])
+                E[rem:, 1 : nshort + 1] = sm_s
+                E[rem:, nshort + 1] = sm_s[:, -1] + (
+                    sm_s[:, -1] - sm_s[:, -2]
+                )
+            # write back: C[j*p + k] = E[k, j]
+            C = E.T.ravel()[: n + 2 * p]
             # 2. low-pass: MA(p) x2 then MA(3) then loess(n_l)
             L = _ma(_ma(_ma(C, p), p), 3)
-            L = loess_smooth(L, n_l)
+            L = loess_smooth(L, n_l, n_jump=jump)
             # lengths: C: n+2p -> MA(p): n+p+1 -> MA(p): n+2 -> MA(3): n
             S = C[p : n + p] - L
             # 3. trend loess of the deseasonalized series
-            T = loess_smooth(y - S, n_t, rho)
+            T = loess_smooth(y - S, n_t, rho, n_jump=jump)
         R = y - T - S
         if _o < outer:
             # bisquare robustness weights from |R|
@@ -175,6 +244,7 @@ def stl_decompose_loess(
     seasonal: int = 7,
     trend: int | None = None,
     outer: int = 0,
+    jump: int = 1,
 ):
     """Spark surface: grouped ``applyInPandas`` STL per series.
 
@@ -204,7 +274,8 @@ def stl_decompose_loess(
             t = s = r = np.full(len(yv), np.nan)
         else:
             t, s, r = stl_loess(
-                yv, period, seasonal=seasonal, trend=trend, outer=outer
+                yv, period, seasonal=seasonal, trend=trend, outer=outer,
+                jump=jump,
             )
         return pd.DataFrame(
             {
@@ -232,6 +303,7 @@ def decomposition_precompute(
     top_k: int = 3,
     seasonal: int = 7,
     outer: int = 0,
+    jump: int | None = None,
 ):
     """Loess-decomposition plot pre-compute — the consumer path that
     mirrors how the reference feeds its STL into the decomposition
@@ -244,7 +316,11 @@ def decomposition_precompute(
     Scale shape: the top-k id set broadcasts (k rows); the bucket
     rollup and the grouped STL kernel are the only shuffles (both on
     ``id_col``); ``stack`` multiplies rows map-side, after the kernel,
-    so no component-wise re-shuffle."""
+    so no component-wise re-shuffle.
+
+    ``jump`` defaults to the trend span's tenth (Cleveland's suggested
+    n_jump for plot-grade output; statsmodels users set the same) —
+    pass ``jump=1`` for the exact dense fit."""
     from pyspark.sql import functions as F
 
     from tsforge_spark.operators.gapfill import complete_grid
@@ -260,9 +336,15 @@ def decomposition_precompute(
     filled = grid.join(sel, [id_col, "bucket"], "left").select(
         id_col, "bucket", F.coalesce("_v", F.lit(0.0)).alias("value")
     )
+    if jump is None:
+        # n_t (the trend span) // 10, the paper's plot-grade skip;
+        # n_s-dependent exactly as stl_loess derives n_t
+        n_s = _odd_at_least(seasonal)
+        n_t = _odd_at_least(int(np.ceil(1.5 * period / (1 - 1.5 / n_s))))
+        jump = max(1, n_t // 10)
     comp = stl_decompose_loess(
         filled, id_col, "bucket", "value",
-        period=period, seasonal=seasonal, outer=outer,
+        period=period, seasonal=seasonal, outer=outer, jump=jump,
     )
     return comp.select(
         F.col(id_col),
