@@ -201,6 +201,8 @@ def test_complete_grid_two_level_matches_single_sequence_any_tz(spark):
                     .orderBy("id", "t")
                     .toPandas()
                 )
-                pd.testing.assert_frame_equal(got, want), (tz, freq)
+                pd.testing.assert_frame_equal(
+                    got, want, obj=f"grid[{tz}/{freq}]"
+                )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)

@@ -25,12 +25,15 @@ SEGMENT_TRUNC = {"1m": "day", "1h": "month", "1d": "month"}
 
 # decode-kernel sub-batch cap (bytes of blob payload per
 # decode_blobs_many call) — see decode_blobs.  Env-tunable so tests can
-# force the split path (the executor workers re-read the env on import).
+# force the split path.  Read at decode() CALL time, not import time:
+# a module-level binding would freeze the value for driver-local
+# execution while fresh executor workers still re-read it —
+# asymmetric behavior for the advertised test hook.
 import os as _os
 
-_DECODE_CHUNK_BYTES = int(
-    _os.environ.get("TSF_DECODE_CHUNK_BYTES", str(64 << 20))
-)
+
+def _decode_chunk_bytes() -> int:
+    return int(_os.environ.get("TSF_DECODE_CHUNK_BYTES", str(64 << 20)))
 
 BLOB_SCHEMA = T.StructType(
     [
@@ -221,12 +224,13 @@ def decode_blobs(blob_df: DataFrame) -> DataFrame:
         # each) would join ~700MB before decoding.  Split on cumulative
         # blob bytes; coarse-tier batches (~20B/blob) pass through as
         # one chunk.
+        cap = _decode_chunk_bytes()
         for full in iterator:
             if len(full) == 0:
                 continue
             yield from (
                 _decode_one(pdf)
-                for pdf in _split_by_bytes(full, _DECODE_CHUNK_BYTES)
+                for pdf in _split_by_bytes(full, cap)
             )
 
     def _decode_one(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -470,18 +470,36 @@ class RollupPipeline:
         it normally).  A leftover WITH ``<sub>`` present is post-install
         debris — drop it.  Must run before any read of ``target`` that
         assumes partition completeness (the conv-pruned carried-blob
-        read), not just before the next commit."""
+        read), not just before the next commit.
+
+        Every filesystem op tolerates concurrent mutation (OSError →
+        skip): a serving reader may run this while a live writer is
+        inside its two-rename window, and the reader 'restoring' that
+        in-flight trash dir must never fail the writer's commit — the
+        writer's own pre-commit heal (under its subtree ownership) is
+        the authoritative one; the reader's is best-effort so a
+        post-crash read sees the pre-swap bytes."""
         if not os.path.isdir(target):
             return
-        for t in os.listdir(target):
+        try:
+            entries = os.listdir(target)
+        except OSError:
+            return
+        for t in entries:
             if not t.startswith(".trash_"):
                 continue
             orig = os.path.join(target, t[len(".trash_"):])
             tr = os.path.join(target, t)
-            if os.path.exists(orig):
-                shutil.rmtree(tr, ignore_errors=True)
-            else:
-                os.replace(tr, orig)
+            try:
+                if os.path.exists(orig):
+                    shutil.rmtree(tr, ignore_errors=True)
+                else:
+                    os.replace(tr, orig)
+            except OSError:
+                # lost the race with the writer (it re-installed orig or
+                # removed the trash between our check and the rename) —
+                # the writer's state is the correct one; leave it alone
+                continue
 
     def _replace_partitions_by_move(self, staging: str, target: str) -> None:
         """Dynamic-partition-overwrite via driver-side file moves: for
@@ -495,7 +513,14 @@ class RollupPipeline:
         ``_heal_interrupted_swaps`` restores on the next run.  A crash
         between partitions leaves a subset replaced — healed by the
         replay contract, identical to a crash mid-commit of a
-        dynamic-overwrite write job."""
+        dynamic-overwrite write job.
+
+        A concurrent serving reader's best-effort heal can 'restore'
+        the trash dir back to ``dst`` inside our two-rename window,
+        which would make the install rename fail (dst reappeared,
+        non-empty) — so the install retries the trash+install pair; the
+        reader never wins twice in a row against a retry loop that
+        re-trashes whatever it restored."""
         if not os.path.isdir(staging):
             return
         self._heal_interrupted_swaps(target)
@@ -507,9 +532,15 @@ class RollupPipeline:
             trash = os.path.join(target, f".trash_{sub}")
             os.makedirs(target, exist_ok=True)
             shutil.rmtree(trash, ignore_errors=True)
-            if os.path.isdir(dst):
-                os.replace(dst, trash)
-            os.replace(src, dst)
+            for attempt in range(8):
+                try:
+                    if os.path.isdir(dst):
+                        os.replace(dst, trash)
+                    os.replace(src, dst)
+                    break
+                except OSError:
+                    if attempt == 7:
+                        raise
             shutil.rmtree(trash, ignore_errors=True)
 
     def _encode_and_commit_blobs(
