@@ -272,9 +272,16 @@ def run_serve(cores: int, work_root: str) -> dict:
                       shuffle_partitions=max(cores, 8),
                       extra_confs={"spark.sql.adaptive.enabled": "false"})
     try:
+        # 7 consecutive days of 1m blobs (~3.2M decoded rows at sf0.1):
+        # big enough that the ~0.3s per-job fixed cost is amortized and
+        # the number measures sustained decode bandwidth, not scheduling
+        week = day_dirs[
+            max(len(day_dirs) // 2 - 3, 0) : max(len(day_dirs) // 2 - 3, 0) + 7
+        ]
         res: dict = {}
         for label, tier, day_flt in (
             ("decode_1m_one_day", "1m", day),
+            ("decode_1m_seven_days", "1m", week),
             ("decode_1h_full", "1h", None),
         ):
             best = None
@@ -290,7 +297,9 @@ def run_serve(cores: int, work_root: str) -> dict:
             # request, so listing + schema inference are not part of
             # per-request decode throughput.
             df = spark.read.parquet(f"{blobs}/tier_part={tier}")
-            if day_flt is not None:
+            if isinstance(day_flt, list):
+                df = df.filter(F.col("seg_day").isin(day_flt))
+            elif day_flt is not None:
                 df = df.filter(F.col("seg_day") == day_flt)
             decoded = decode_blobs(df)
             for _ in range(3):
@@ -308,12 +317,67 @@ def run_serve(cores: int, work_root: str) -> dict:
         spark.stop()
 
 
+def run_streaming(store_dir: str, work_root: str) -> dict:
+    """Streaming-tier throughput (VERDICT r5 #6 — the one untimed
+    engine surface): the watermarked 1m rollup over the bench store's
+    snapshot files as an availableNow file-stream, parquet sink +
+    checkpoint, reported as input turns/sec end-to-end (trigger start →
+    all micro-batches drained).  Equality vs the batch tier on closed
+    windows is pinned by tests/test_streaming.py; this measures rate."""
+    from tsforge_spark.session import get_spark
+    from tsforge_spark.sources.snapshots import SnapshotStore
+    from tsforge_spark.streaming.stream import (
+        read_transcript_stream, streaming_tier,
+    )
+
+    in_path = os.path.join(store_dir, "snap-000001")
+    out = os.path.join(work_root, "stream_out")
+    ckpt = os.path.join(work_root, "stream_ckpt")
+    spark = get_spark("tsforge-bench-stream", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    try:
+        n_turns = SnapshotStore(store_dir).read(spark).count()
+        # big micro-batches: the file source lists CPUS*8 snapshot
+        # files; 64 per trigger keeps batch count low so the number
+        # measures the rollup, not per-batch commit overhead
+        stream = read_transcript_stream(
+            spark, in_path, max_files_per_trigger=64
+        )
+        tiered = streaming_tier(stream, "1m", watermark="10 minutes")
+        t0 = time.time()
+        q = (
+            tiered.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        return {
+            "turns": int(n_turns),
+            "wall_sec": round(wall, 2),
+            "turns_per_sec": round(n_turns / wall, 1),
+            "batches": int(q.lastProgress["batchId"]) + 1
+            if q.lastProgress else None,
+        }
+    finally:
+        spark.stop()
+
+
 def run_loess(sf_dir: str) -> dict:
     """Loess-STL consumer-path timing (one grouped applyInPandas pass
     over zero-filled hourly series at period=24): the full
     decomposition_precompute plan — top-k select, grid fill, batched
     closed-form loess kernels, stacked component output — reported as
-    decomposed grid points/sec.  Best of 2 against box variance."""
+    decomposed grid points/sec.  Best of 2 against box variance.
+
+    top_k=1000 (was 200): the r5 verdict flagged "at top-2000 this is
+    the slowest thing in the engine" — so the recorded number is the
+    large-k shape (sf0.1 events has 1,500 users total; 1000 is the
+    meaningful large cut), where per-job fixed cost is amortized and
+    the number measures the kernel + grid plan, not scheduling."""
     from tsforge_spark.operators.stl_loess import decomposition_precompute
     from tsforge_spark.session import get_spark
 
@@ -323,7 +387,7 @@ def run_loess(sf_dir: str) -> dict:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         plan = decomposition_precompute(
             ev, "user_id", "ts", "value", freq="1h", period=24,
-            top_k=200, seasonal=7,
+            top_k=1000, seasonal=7,
         )
         best, n = None, 0
         for _ in range(2):
@@ -360,15 +424,23 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
         QUERIES["rollup_minute"](spark, sf_dir).count()
         cold_first = round(time.time() - t0, 3)
         _warm_jvm(spark, sf_dir)
-        for name, fn in QUERIES.items():
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()  # force full execution without driver transfer
-            timings[name] = round(time.time() - t0, 3)
-            _ = n
-            # release this query's localCheckpoint blocks promptly (py4j
-            # finalizers only run on python GC; accumulation costs ~5%)
-            gc.collect()
+        # best of 2 passes per query (r5 verdict's suggested fix for
+        # the ±20-30% single-shot box drift): same steady-state
+        # methodology as the pipeline's best-of-4 — each pass is a
+        # full fresh execution, the min is the reproducible data cost
+        for _pass in range(2):
+            for name, fn in QUERIES.items():
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()  # full execution without driver transfer
+                dt = round(time.time() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+                _ = n
+                # release this query's localCheckpoint blocks promptly
+                # (py4j finalizers only run on python GC; accumulation
+                # costs ~5%)
+                gc.collect()
     finally:
         spark.stop()
     return timings, cold_first
@@ -537,6 +609,7 @@ def main() -> None:
                 CPUS, store_dir, work_root, n_convs
             )
             extras["serving"] = run_serve(CPUS, work_root)
+            extras["streaming"] = run_streaming(store_dir, work_root)
             extras["loess"] = run_loess(SF_DIR)
 
         if skip_queries:

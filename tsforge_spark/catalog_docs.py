@@ -148,7 +148,15 @@ def q_embedding_neardup(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("nrm", norm(F.col("e")))
-    n = e.count()
+    # n from the parquet FOOTER (Iceberg: the snapshot's manifest row
+    # count) — the sqrt-k sizing needs only the table cardinality, and
+    # a full count() action here was a whole extra Spark job
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetDataset(f"{sf_dir}/embeddings.parquet").files
+    n = sum(
+        _pq.ParquetFile(f).metadata.num_rows for f in n
+    )
     k = max(16, math.ceil(math.sqrt(n)))
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
@@ -228,7 +236,9 @@ def q_ann_ivf(spark, sf_dir):
         (r["vec_id"], list(r["embedding"]))
         for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
-    q = _query_vec(spark, sf_dir, 0)
+    # the query vector (vec_id=0) is already in the centroid collect —
+    # a separate _query_vec() action was a whole redundant Spark job
+    q = cent_rows[0][1]
     qv = np.asarray(q, dtype=np.float64)
 
     def cos_np(c):

@@ -179,7 +179,15 @@ def _interp_udf(df: DataFrame, col: str, id_col: str, time_col: str, method: str
             pdf = pdf.assign(**{col: y})
         return pdf
 
-    return df.groupBy(id_col).applyInPandas(fill, schema=schema)
+    from tsforge_spark.operators.partitioning import kernel_repartition
+
+    # pin kernel-stage parallelism (see operators/partitioning.py —
+    # AQE's bytes-based coalescing serializes small-bytes kernel fleets)
+    return (
+        kernel_repartition(df, id_col)
+        .groupBy(id_col)
+        .applyInPandas(fill, schema=schema)
+    )
 
 
 def fill_gaps(

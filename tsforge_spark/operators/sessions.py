@@ -109,13 +109,28 @@ def permutation_entropy_m3(
         .when((c < a) & (a <= b), 4)            # c a b
         .otherwise(5)                            # c b a
     )
+    # m=3 → exactly 6 patterns, so the whole entropy folds into ONE
+    # aggregation with conditional counts (vs the generic per-(id,
+    # pattern) rollup + total window + re-aggregate: two fewer plan
+    # stages, same result).  Zero-count patterns contribute 0 (the
+    # p·ln p limit), matching the generic version where they simply
+    # had no row.
     pats = df.withColumn("_p", pattern).filter(c.isNotNull())
-    counts = pats.groupBy(id_col, "_p").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = Window.partitionBy(id_col)
-    p = F.col("cnt") / F.sum("cnt").over(tot)
-    ent = counts.withColumn("_term", -p * F.log(p))
-    return ent.groupBy(id_col).agg(
-        F.round(F.sum("_term"), 9).alias("perm_entropy")
+    g = pats.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_tot"),
+        *[
+            F.count(F.when(F.col("_p") == k, 1)).alias(f"_c{k}")
+            for k in range(6)
+        ],
+    )
+
+    def term(k: int):
+        p = F.col(f"_c{k}") / F.col("_tot")
+        return F.when(F.col(f"_c{k}") > 0, -p * F.log(p)).otherwise(0.0)
+
+    ent = term(0) + term(1) + term(2) + term(3) + term(4) + term(5)
+    return g.select(
+        id_col, F.round(ent, 9).alias("perm_entropy")
     )
 
 
@@ -326,7 +341,15 @@ def ts_features(
             columns=[f.name for f in _TSFEAT_SCHEMA.fields],
         )
 
-    return df.groupBy(id_col).applyInPandas(feats, schema=_TSFEAT_SCHEMA)
+    from tsforge_spark.operators.partitioning import kernel_repartition
+
+    # pin kernel-stage parallelism (see operators/partitioning.py —
+    # AQE's bytes-based coalescing serializes small-bytes kernel fleets)
+    return (
+        kernel_repartition(df, id_col)
+        .groupBy(id_col)
+        .applyInPandas(feats, schema=_TSFEAT_SCHEMA)
+    )
 
 
 def hierarchical_ts_features(

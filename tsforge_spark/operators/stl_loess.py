@@ -288,8 +288,21 @@ def stl_decompose_loess(
             }
         )
 
-    return df.select(id_col, ts_col, value_col).groupBy(id_col).applyInPandas(
-        kernel, schema=out_schema
+    sdf = df.select(id_col, ts_col, value_col)
+    # Explicit partitioning for the kernel stage: AQE coalesces
+    # shuffles by BYTES, which is the wrong objective for a CPU-bound
+    # per-group Python kernel — on a small-bytes input it folds ALL
+    # series into ONE task and the whole decomposition runs serially
+    # (measured: 12s for 1000 series vs ~0.5s parallel).  A plain
+    # kernel_repartition (operators/partitioning.py) pins the kernel
+    # stage's parallelism against both the static planner's redundant-
+    # repartition removal and AQE's bytes-based coalescing.
+    from tsforge_spark.operators.partitioning import kernel_repartition
+
+    return (
+        kernel_repartition(sdf, id_col)
+        .groupBy(id_col)
+        .applyInPandas(kernel, schema=out_schema)
     )
 
 
