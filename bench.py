@@ -186,15 +186,27 @@ def run_compute_probe(cores: int, store_dir: str, master: str | None = None) -> 
     try:
         df = SnapshotStore(store_dir).read(spark)
         df.count()  # warm page cache
+
+        def one_pass() -> int:
+            t1m = rollup_transcripts(df, "1m")
+            t1h = fold_tier(t1m, "1h")
+            t1d = fold_tier(t1h, "1d")
+            n = 0
+            for tier_df, tier in ((t1m, "1m"), (t1h, "1h"), (t1d, "1d")):
+                n += encode_tier_blobs(tier_df, tier).agg(
+                    F.sum("blob_bytes")
+                ).collect()[0][0]
+            return n
+        # pass 1 untimed: whole-stage codegen compiles and the Python
+        # UDF workers fork on the FIRST execution of this plan — a
+        # per-session fixed cost a long-lived cluster pays once, not
+        # per job.  Timing the second pass measures the engine's
+        # steady-state compute scaling instead of Janino+fork overhead
+        # (solving T = s + p/cores across the 2/8-core pair put that
+        # serial component at ~11s of a 30s cold pass).
+        one_pass()
         t0 = time.time()
-        t1m = rollup_transcripts(df, "1m")
-        t1h = fold_tier(t1m, "1h")
-        t1d = fold_tier(t1h, "1d")
-        n = 0
-        for tier_df, tier in ((t1m, "1m"), (t1h, "1h"), (t1d, "1d")):
-            n += encode_tier_blobs(tier_df, tier).agg(
-                F.sum("blob_bytes")
-            ).collect()[0][0]
+        one_pass()
         wall = time.time() - t0
         turns = df.count()
         return turns / wall
@@ -333,8 +345,18 @@ def run_streaming(store_dir: str, work_root: str) -> dict:
     in_path = os.path.join(store_dir, "snap-000001")
     out = os.path.join(work_root, "stream_out")
     ckpt = os.path.join(work_root, "stream_ckpt")
-    spark = get_spark("tsforge-bench-stream", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 8))
+    spark = get_spark(
+        "tsforge-bench-stream", master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+        # RocksDB state store: the windowed-agg state is one row per
+        # (conv, minute) — ~9.5M at sf0.1 — which belongs off-heap/on-
+        # disk, not in the 8g driver heap (also the production posture)
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+        },
+    )
     try:
         n_turns = SnapshotStore(store_dir).read(spark).count()
         # big micro-batches: the file source lists CPUS*8 snapshot
@@ -462,20 +484,25 @@ def run_cluster_scaling(store_dir: str, work_root: str) -> dict:
     # counts) to reproduce the saturated 2 -> 8 pair.
     n_small = int(os.environ.get("TSF_LC_SMALL", "1"))
     n_big = int(os.environ.get("TSF_LC_BIG", str(n_small * 4)))
+    # cores per executor (TSF_LC_CORES): 4 is the default pair; 2 gives
+    # the fully-sub-saturation 1x2 -> 4x2 pair (2 -> 8 cores, entirely
+    # below the box's DRAM-stream ceiling) that isolates the ENGINE's
+    # parallel fraction from the substrate's bandwidth wall
+    c_exec = int(os.environ.get("TSF_LC_CORES", "4"))
     factor = n_big / n_small
     # best-of-2 per size (fresh output dirs, same input) against the
     # box's +/-20% run-to-run variance
     small = max(
-        (run_pipeline(n_small * 4, store_dir,
+        (run_pipeline(n_small * c_exec, store_dir,
                       os.path.join(work_root, f"lc_s{i}"),
-                      master=f"local-cluster[{n_small},4,{mem}]")
+                      master=f"local-cluster[{n_small},{c_exec},{mem}]")
          for i in (0, 1)),
         key=lambda r: r["turns_per_sec"],
     )
     big = max(
-        (run_pipeline(n_big * 4, store_dir,
+        (run_pipeline(n_big * c_exec, store_dir,
                       os.path.join(work_root, f"lc_b{i}"),
-                      master=f"local-cluster[{n_big},4,{mem}]")
+                      master=f"local-cluster[{n_big},{c_exec},{mem}]")
          for i in (0, 1)),
         key=lambda r: r["turns_per_sec"],
     )
@@ -483,11 +510,11 @@ def run_cluster_scaling(store_dir: str, work_root: str) -> dict:
     n_turns = big.get("turns")
     # compute-only probe (rollup->fold->encode, no sinks): separates the
     # engine's parallel fraction from the sandbox's single shared disk
-    c_small = max(run_compute_probe(n_small * 4, store_dir,
-                                    master=f"local-cluster[{n_small},4,{mem}]")
+    c_small = max(run_compute_probe(n_small * c_exec, store_dir,
+                                    master=f"local-cluster[{n_small},{c_exec},{mem}]")
                   for _ in (0, 1))
-    c_big = max(run_compute_probe(n_big * 4, store_dir,
-                                  master=f"local-cluster[{n_big},4,{mem}]")
+    c_big = max(run_compute_probe(n_big * c_exec, store_dir,
+                                  master=f"local-cluster[{n_big},{c_exec},{mem}]")
                 for _ in (0, 1))
     return {
         "mode": "executor-jvms",
@@ -495,8 +522,8 @@ def run_cluster_scaling(store_dir: str, work_root: str) -> dict:
         "compute_turns_per_sec_small": round(c_small, 1),
         "compute_turns_per_sec_big": round(c_big, 1),
         "compute_efficiency": round((c_big / c_small) / factor, 3),
-        "executors_small": f"{n_small}x4cores",
-        "executors_big": f"{n_big}x4cores",
+        "executors_small": f"{n_small}x{c_exec}cores",
+        "executors_big": f"{n_big}x{c_exec}cores",
         "exec_mem_mb": mem,
         "turns_per_sec_small": round(small["turns_per_sec"], 1),
         "turns_per_sec_big": round(big["turns_per_sec"], 1),
