@@ -540,6 +540,12 @@ def main() -> None:
     scaling = "--scaling" in sys.argv
     scaling_cluster = "--scaling-cluster" in sys.argv
     skip_queries = "--skip-queries" in sys.argv
+    if "--queries-only" in sys.argv:
+        # child mode (see below): catalog section in its own process
+        timings, cold_first = run_queries(SF_DIR)
+        print(json.dumps({"queries": timings,
+                          "cold_first_query_sec": cold_first}))
+        return
     sf = _sf_from_dir(SF_DIR)
     n_convs = int(os.environ.get("TSF_BENCH_CONVS", max(int(200_000 * sf), 200)))
     work_root = tempfile.mkdtemp(prefix="tsforge_bench_")
@@ -642,11 +648,33 @@ def main() -> None:
         if skip_queries:
             queries = {}
         else:
-            queries, cold_first = run_queries(SF_DIR)
+            # The catalog section runs in its OWN process (fresh JVM):
+            # py4j keeps one JVM alive across SparkContext.stop(), so an
+            # in-process run inherits five sections' worth of metaspace,
+            # heap and codegen-cache state (measured: same code, same
+            # box, catalog sum 33.1s in-process after pipeline+streaming
+            # vs 26.3s in a clean process) — and the "cold first query"
+            # reference was not cold at all (0.58s vs ~6s in a real cold
+            # JVM).  A standalone query service is a separate process
+            # from the ingest pipeline; measure it like one.
+            import subprocess
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--queries-only"],
+                capture_output=True, text=True, cwd=os.getcwd(),
+            )
+            qline = [ln for ln in child.stdout.splitlines()
+                     if ln.startswith("{")]
+            if child.returncode != 0 or not qline:
+                sys.stderr.write(child.stderr[-2000:])
+                raise RuntimeError("queries-only child failed")
+            qres = json.loads(qline[-1])
+            queries = qres["queries"]
             # cold/single-shot references (bench_detail.json only):
             # pipeline_runs[0] is the cold e2e run; this is one cold
-            # catalog query before any warm-up
-            extras["cold_first_query_sec"] = cold_first
+            # catalog query before any warm-up, now in a genuinely
+            # cold JVM
+            extras["cold_first_query_sec"] = qres["cold_first_query_sec"]
 
         out = {
             "metric": METRIC,
