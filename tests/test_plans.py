@@ -245,3 +245,21 @@ def test_kernel_repartition_resists_aqe_coalescing(spark):
     # document the hazard the pin exists for: the unpinned control
     # must not out-parallelize the pinned kernel (AQE coalesces it)
     assert n_control <= n_pinned, (n_control, n_pinned)
+
+
+def test_engine_sessions_pin_utc(spark):
+    """The engine contract is UTC microseconds end-to-end.  The source
+    parquet stores NAIVE µs timestamps, and Spark interprets a naive
+    scan value in SESSION-local time — so under a non-UTC session every
+    bucket instant genuinely shifts (verified: rollup_minute buckets
+    move by the session offset).  The defense is the session factory:
+    every `get_spark` session must pin spark.sql.session.timeZone=UTC
+    regardless of ambient TZ, and that pin is what keeps all 50 catalog
+    queries bitwise-equal to the DuckDB oracle (which reads the same
+    naive values).  (Operator-level timezone SUPPORT — fill_gaps(tz=…)
+    grids under DST and :30-phase zones — is probed in test_gapfill.)"""
+    from tsforge_spark.session import ENGINE_CONFS
+
+    assert ENGINE_CONFS["spark.sql.session.timeZone"] == "UTC"
+    # and the live engine session (conftest's get_spark) carries it
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
