@@ -399,17 +399,28 @@ def run_loess(sf_dir: str) -> dict:
     the slowest thing in the engine" — so the recorded number is the
     large-k shape (sf0.1 events has 1,500 users total; 1000 is the
     meaningful large cut), where per-job fixed cost is amortized and
-    the number measures the kernel + grid plan, not scheduling."""
-    from tsforge_spark.operators.stl_loess import decomposition_precompute
+    the number measures the kernel + grid plan, not scheduling.
+
+    Methodology (r6→r7 comparability): this section times the
+    PLOT-GRADE fit — jump=plot_grade_jump(24, 7) (Cleveland n_t//10
+    skip, = 4 at period=24/seasonal=7), passed EXPLICITLY and recorded
+    in the result.  decomposition_precompute's default is the exact
+    dense jump=1 fit; r6's 10.3× speedup vs r5 was jointly top_k
+    amortization + the batched kernel + this skip, so the jump is now
+    on the record rather than implied by a default."""
+    from tsforge_spark.operators.stl_loess import (
+        decomposition_precompute, plot_grade_jump,
+    )
     from tsforge_spark.session import get_spark
 
     spark = get_spark("tsforge-loess", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8))
     try:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        jump = plot_grade_jump(24, 7)
         plan = decomposition_precompute(
             ev, "user_id", "ts", "value", freq="1h", period=24,
-            top_k=1000, seasonal=7,
+            top_k=1000, seasonal=7, jump=jump,
         )
         best, n = None, 0
         for _ in range(2):
@@ -422,6 +433,7 @@ def run_loess(sf_dir: str) -> dict:
             "grid_points": int(n) // 4,
             "sec": round(best, 2),
             "points_per_sec": round((n // 4) / best, 1),
+            "jump": int(jump),
         }
     finally:
         spark.stop()

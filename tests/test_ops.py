@@ -472,3 +472,26 @@ def test_two_level_ivf_assignment(spark):
     plan = two._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_one_hot_cardinality_cap(spark):
+    """The one-hot FIT path must never collect unbounded distincts to
+    the driver: over ``max_categories`` it raises loudly (the
+    reference's get_dummies, encode_features.py:136-156, silently
+    explodes into that many columns instead).  The collect itself is
+    limit-capped at max_categories+1 rows, so even the failing fit
+    moves O(cap) — not O(cardinality) — data."""
+    import pytest as _pytest
+
+    from tsforge_spark.functions.encoders import one_hot_encode
+
+    wide = spark.range(500).select(
+        F.concat(F.lit("cat_"), F.col("id")).alias("c")
+    )
+    with _pytest.raises(ValueError, match="more than 100 distinct"):
+        one_hot_encode(wide, "c", max_categories=100)
+    # explicit categories skip the fit job entirely — no error
+    ok = one_hot_encode(
+        wide, "c", categories=["cat_1", "cat_2"], max_categories=100
+    ).toPandas()
+    assert ok["c_cat_1"].sum() == 1 and ok["c_cat_2"].sum() == 1

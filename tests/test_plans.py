@@ -263,3 +263,42 @@ def test_engine_sessions_pin_utc(spark):
     assert ENGINE_CONFS["spark.sql.session.timeZone"] == "UTC"
     # and the live engine session (conftest's get_spark) carries it
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+@pytest.mark.parametrize("entry", ["loess", "interp", "tsfeat"])
+def test_kernel_exchange_survives_planner(spark, entry):
+    """Pins round 6's biggest perf fix against Spark-version drift:
+    the three grouped-kernel entry points (loess STL, pandas
+    interpolation, ts-features battery) each route through
+    ``kernel_repartition``, whose 2·cores+1 hash exchange must SURVIVE
+    into the final physical plan — i.e. EnsureRequirements did not
+    remove it as redundant (the ODD count can never equal a
+    conf-derived partition count) and it is user-numbered
+    (REPARTITION_BY_NUM), which is what exempts it from AQE's
+    bytes-based coalescing.  If either property drifts, the
+    small-bytes kernel-fleet serialization hazard (12s single-task vs
+    0.5s parallel, see operators/partitioning.py) silently returns."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").alias("gid"), F.col("ts"), F.col("value")
+    )
+    if entry == "loess":
+        from tsforge_spark.operators.stl_loess import stl_decompose_loess
+
+        plan_df = stl_decompose_loess(
+            ev.groupBy("gid", F.date_trunc("hour", "ts").alias("bucket"))
+            .agg(F.sum("value").alias("v")),
+            "gid", "bucket", "v", period=24,
+        )
+    elif entry == "interp":
+        from tsforge_spark.operators.gapfill import _interp_udf
+
+        plan_df = _interp_udf(ev, "value", "gid", "ts", "pandas")
+    else:
+        from tsforge_spark.operators.sessions import ts_features
+
+        plan_df = ts_features(ev, "gid", "ts", "value")
+    n = 2 * spark.sparkContext.defaultParallelism + 1
+    plan = plan_of(plan_df)
+    assert f"hashpartitioning(gid" in plan, plan
+    # the explicit 2·cores+1 count is present on a surviving exchange
+    assert f", {n}), REPARTITION_BY_NUM" in plan, (n, plan)

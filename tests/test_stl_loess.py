@@ -211,3 +211,22 @@ def test_decomposition_precompute_consumer_path(spark):
     assert np.allclose(
         ok["trend"] + ok["seasonal"] + ok["resid"], ok["value"], atol=1e-9
     )
+
+
+def test_precompute_default_is_dense_and_plot_jump_is_explicit():
+    """r6 ADVICE: decomposition_precompute silently defaulted to a
+    plot-grade skip.  Pin the fix: the default is the exact dense
+    jump=1 fit (statsmodels' *_jump defaults, what the reference's
+    plot_decomposition.py gets), and the Cleveland n_t//10 skip is an
+    explicit opt-in via plot_grade_jump."""
+    import inspect
+
+    from tsforge_spark.operators.stl_loess import (
+        decomposition_precompute, plot_grade_jump,
+    )
+
+    sig = inspect.signature(decomposition_precompute)
+    assert sig.parameters["jump"].default == 1
+    # n_s=7 → n_t=47 → 47//10 = 4 at the daily-period chart default
+    assert plot_grade_jump(24, 7) == 4
+    assert plot_grade_jump(4, 7) >= 1

@@ -150,13 +150,17 @@ def q_embedding_neardup(spark, sf_dir):
     ).withColumn("nrm", norm(F.col("e")))
     # n from the parquet FOOTER (Iceberg: the snapshot's manifest row
     # count) — the sqrt-k sizing needs only the table cardinality, and
-    # a full count() action here was a whole extra Spark job
-    import pyarrow.parquet as _pq
+    # a full count() action here was a whole extra Spark job.  The
+    # driver-local footer read only works for filesystem paths, so any
+    # failure (s3/hdfs sf_dir, layout change) falls back to e.count()
+    # — correct everywhere, one extra job.
+    try:
+        import pyarrow.parquet as _pq
 
-    n = _pq.ParquetDataset(f"{sf_dir}/embeddings.parquet").files
-    n = sum(
-        _pq.ParquetFile(f).metadata.num_rows for f in n
-    )
+        files = _pq.ParquetDataset(f"{sf_dir}/embeddings.parquet").files
+        n = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        n = e.count()
     k = max(16, math.ceil(math.sqrt(n)))
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
@@ -237,7 +241,14 @@ def q_ann_ivf(spark, sf_dir):
         for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
     # the query vector (vec_id=0) is already in the centroid collect —
-    # a separate _query_vec() action was a whole redundant Spark job
+    # a separate _query_vec() action was a whole redundant Spark job.
+    # Fail loudly if vec_id 0 is ever absent (the old _query_vec
+    # raised on a miss; silently using the wrong row would return
+    # plausible-but-wrong neighbors).
+    if not cent_rows or cent_rows[0][0] != 0:
+        raise ValueError(
+            "q_ann_ivf: query vector vec_id=0 missing from embeddings"
+        )
     q = cent_rows[0][1]
     qv = np.asarray(q, dtype=np.float64)
 

@@ -42,12 +42,28 @@ def frequency_encode(df: DataFrame, cat_col: str, out_col: str | None = None) ->
 
 def one_hot_encode(
     df: DataFrame, cat_col: str, categories: list[str] | None = None,
-    drop_first: bool = False,
+    drop_first: bool = False, max_categories: int = 1024,
 ) -> DataFrame:
+    """One indicator column per category (``encode_features.py:136-156``
+    get_dummies).  The fit path collects DISTINCT categories to the
+    driver — bounded by ``max_categories``: the collect is capped at
+    ``max_categories + 1`` rows and raises loudly when exceeded, so a
+    high-cardinality column can never move unbounded data to the
+    driver (the reference's get_dummies silently explodes instead).
+    Pass ``categories`` explicitly to skip the fit job entirely."""
     if categories is None:
-        categories = sorted(
-            r[0] for r in df.select(cat_col).distinct().collect() if r[0] is not None
+        fit = (
+            df.select(cat_col).distinct().limit(max_categories + 1).collect()
         )
+        if len(fit) > max_categories:
+            raise ValueError(
+                f"one_hot_encode: {cat_col!r} has more than "
+                f"{max_categories} distinct values; one-hot on a "
+                "high-cardinality column would create that many "
+                "output columns — use hash/frequency/target encoding "
+                "or raise max_categories explicitly"
+            )
+        categories = sorted(r[0] for r in fit if r[0] is not None)
     if drop_first:
         categories = categories[1:]
     out = df

@@ -306,6 +306,18 @@ def stl_decompose_loess(
     )
 
 
+def plot_grade_jump(period: int, seasonal: int = 7) -> int:
+    """Cleveland §3.3's plot-grade loess skip: n_t (the trend span,
+    derived from ``period``/``seasonal`` exactly as stl_loess does)
+    // 10.  Pass the result as ``jump=`` to
+    :func:`decomposition_precompute` when approximated (linearly
+    interpolated between anchor fits) trend/seasonal is acceptable —
+    e.g. chart pre-compute — for ~n_t/10× fewer kernel fits."""
+    n_s = _odd_at_least(seasonal)
+    n_t = _odd_at_least(int(np.ceil(1.5 * period / (1 - 1.5 / n_s))))
+    return max(1, n_t // 10)
+
+
 def decomposition_precompute(
     df,
     id_col: str,
@@ -316,7 +328,7 @@ def decomposition_precompute(
     top_k: int = 3,
     seasonal: int = 7,
     outer: int = 0,
-    jump: int | None = None,
+    jump: int = 1,
 ):
     """Loess-decomposition plot pre-compute — the consumer path that
     mirrors how the reference feeds its STL into the decomposition
@@ -331,9 +343,13 @@ def decomposition_precompute(
     ``id_col``); ``stack`` multiplies rows map-side, after the kernel,
     so no component-wise re-shuffle.
 
-    ``jump`` defaults to the trend span's tenth (Cleveland's suggested
-    n_jump for plot-grade output; statsmodels users set the same) —
-    pass ``jump=1`` for the exact dense fit."""
+    ``jump`` defaults to 1 — the exact dense fit, matching
+    statsmodels' STL whose ``*_jump`` defaults are all 1 (which is
+    what the reference's plot_decomposition.py gets).  Pass
+    ``jump=plot_grade_jump(period, seasonal)`` (Cleveland §3.3's
+    n_t//10 skip) explicitly when plot-grade output is enough and you
+    want the ~10× kernel speedup; callers must opt in so exact and
+    approximated outputs are never silently swapped."""
     from pyspark.sql import functions as F
 
     from tsforge_spark.operators.gapfill import complete_grid
@@ -349,12 +365,6 @@ def decomposition_precompute(
     filled = grid.join(sel, [id_col, "bucket"], "left").select(
         id_col, "bucket", F.coalesce("_v", F.lit(0.0)).alias("value")
     )
-    if jump is None:
-        # n_t (the trend span) // 10, the paper's plot-grade skip;
-        # n_s-dependent exactly as stl_loess derives n_t
-        n_s = _odd_at_least(seasonal)
-        n_t = _odd_at_least(int(np.ceil(1.5 * period / (1 - 1.5 / n_s))))
-        jump = max(1, n_t // 10)
     comp = stl_decompose_loess(
         filled, id_col, "bucket", "value",
         period=period, seasonal=seasonal, outer=outer, jump=jump,

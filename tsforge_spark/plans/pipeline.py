@@ -518,9 +518,13 @@ class RollupPipeline:
         A concurrent serving reader's best-effort heal can 'restore'
         the trash dir back to ``dst`` inside our two-rename window,
         which would make the install rename fail (dst reappeared,
-        non-empty) — so the install retries the trash+install pair; the
-        reader never wins twice in a row against a retry loop that
-        re-trashes whatever it restored."""
+        non-empty) — so the install retries the trash+install pair
+        with a small linear backoff (a tight spin maximizes
+        re-collision with a persistently interleaving reader).  If
+        every attempt fails AFTER dst was already trashed, the old
+        partition is restored (``os.replace(trash, dst)``) before the
+        raise — the writer never exits leaving the partition missing
+        until the next run's heal."""
         if not os.path.isdir(staging):
             return
         self._heal_interrupted_swaps(target)
@@ -540,7 +544,16 @@ class RollupPipeline:
                     break
                 except OSError:
                     if attempt == 7:
+                        # best-effort rollback: put the old partition
+                        # back so readers see stale-but-complete data
+                        # rather than a hole
+                        if os.path.isdir(trash) and not os.path.isdir(dst):
+                            try:
+                                os.replace(trash, dst)
+                            except OSError:
+                                pass
                         raise
+                    time.sleep(0.05 * (attempt + 1))
             shutil.rmtree(trash, ignore_errors=True)
 
     def _encode_and_commit_blobs(
