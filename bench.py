@@ -37,6 +37,40 @@ METRIC = (
 )
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+    Returns (0, 0) when unreadable (non-Linux) — steal_pct then
+    records None rather than a fake zero."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_begin() -> tuple[int, int]:
+    return _cpu_ticks()
+
+
+def _steal_pct(t0: tuple[int, int]) -> float | None:
+    """Host steal% across the section begun at ``t0`` — the fraction of
+    CPU time the hypervisor gave to OTHER guests while this section
+    ran.  Two rounds running, the gap between what the code does and
+    what a throttled-window record says had to be explained in prose
+    (r5 'regression' = 13-25% st; r6 headline 475k vs 535k clean);
+    sampling /proc/stat per timed section makes every recorded number
+    self-attributing instead."""
+    s0, tot0 = t0
+    s1, tot1 = _cpu_ticks()
+    d = tot1 - tot0
+    if d <= 0 or (tot0 == 0 and s0 == 0):
+        return None
+    return round(100.0 * (s1 - s0) / d, 2)
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -97,7 +131,9 @@ def run_pipeline(cores: int, store_dir: str, work_root: str,
             spark, SnapshotStore(store_dir), out_dir,
             n_buckets=max(cores * 2, 16), unique_key_check="trust",
         )
+        st0 = _steal_begin()
         res = pipe.run()
+        res["steal_pct"] = _steal_pct(st0)
         res["cores"] = cores
         return res
     finally:
@@ -150,7 +186,10 @@ def run_incremental(cores: int, store_dir: str, work_root: str, n_convs: int) ->
                 spark, store, out,
                 n_buckets=max(cores * 2, 16), unique_key_check="trust",
             )
-            results.append(pipe.run())
+            st0 = _steal_begin()
+            r = pipe.run()
+            r["steal_pct"] = _steal_pct(st0)
+            results.append(r)
         res = max(results, key=lambda r: r["turns_per_sec"])
         res["runs_wall_sec"] = [round(r["wall_sec"], 2) for r in results]
         return {
@@ -160,16 +199,23 @@ def run_incremental(cores: int, store_dir: str, work_root: str, n_convs: int) ->
             "turns_per_sec": round(res["turns_per_sec"], 1),
             "affected_days": res["affected_days"],
             "stage_sec": res.get("stage_sec", {}),
+            "stage_bytes": res.get("stage_bytes", {}),
+            "steal_pct": res.get("steal_pct"),
+            "runs_steal_pct": [r.get("steal_pct") for r in results],
         }
     finally:
         spark.stop()
 
 
-def run_compute_probe(cores: int, store_dir: str, master: str | None = None) -> float:
+def run_compute_probe(
+    cores: int, store_dir: str, master: str | None = None,
+) -> tuple[float, float | None]:
     """Compute-stage throughput (rollup → fold → Gorilla encode, no
     sinks): isolates the engine's parallel fraction from the sandbox's
     shared single disk.  Input is read twice so the second, timed pass
-    hits the page cache."""
+    hits the page cache.  Returns (turns/sec, steal_pct over the timed
+    pass) — tuple compares by throughput first, so ``max()`` over runs
+    still picks the fastest and its steal rides along."""
     from pyspark.sql import functions as F
 
     from tsforge_spark.codec.blobs import encode_tier_blobs
@@ -205,11 +251,13 @@ def run_compute_probe(cores: int, store_dir: str, master: str | None = None) -> 
         # (solving T = s + p/cores across the 2/8-core pair put that
         # serial component at ~11s of a 30s cold pass).
         one_pass()
+        st0 = _steal_begin()
         t0 = time.time()
         one_pass()
         wall = time.time() - t0
+        steal = _steal_pct(st0)
         turns = df.count()
-        return turns / wall
+        return turns / wall, steal
     finally:
         spark.stop()
 
@@ -314,6 +362,7 @@ def run_serve(cores: int, work_root: str) -> dict:
             elif day_flt is not None:
                 df = df.filter(F.col("seg_day") == day_flt)
             decoded = decode_blobs(df)
+            st0 = _steal_begin()
             for _ in range(3):
                 t0 = time.time()
                 n = decoded.count()
@@ -323,6 +372,7 @@ def run_serve(cores: int, work_root: str) -> dict:
                 "rows": int(n),
                 "sec": round(best, 2),
                 "rows_per_sec": round(n / best, 1),
+                "steal_pct": _steal_pct(st0),
             }
         return res
     finally:
@@ -366,6 +416,7 @@ def run_streaming(store_dir: str, work_root: str) -> dict:
             spark, in_path, max_files_per_trigger=64
         )
         tiered = streaming_tier(stream, "1m", watermark="10 minutes")
+        st0 = _steal_begin()
         t0 = time.time()
         q = (
             tiered.writeStream.outputMode("append")
@@ -383,6 +434,7 @@ def run_streaming(store_dir: str, work_root: str) -> dict:
             "turns_per_sec": round(n_turns / wall, 1),
             "batches": int(q.lastProgress["batchId"]) + 1
             if q.lastProgress else None,
+            "steal_pct": _steal_pct(st0),
         }
     finally:
         spark.stop()
@@ -423,6 +475,7 @@ def run_loess(sf_dir: str) -> dict:
             top_k=1000, seasonal=7, jump=jump,
         )
         best, n = None, 0
+        st0 = _steal_begin()
         for _ in range(2):
             t0 = time.time()
             n = plan.count()
@@ -434,12 +487,13 @@ def run_loess(sf_dir: str) -> dict:
             "sec": round(best, 2),
             "points_per_sec": round((n // 4) / best, 1),
             "jump": int(jump),
+            "steal_pct": _steal_pct(st0),
         }
     finally:
         spark.stop()
 
 
-def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
+def run_queries(sf_dir: str) -> tuple[dict[str, float], float, float | None]:
     """Returns (steady-state per-query timings, one COLD single-shot
     reference timing).  The timed catalog runs warm (full-catalog JVM
     warm-up first) — steady state is what a resident query service
@@ -453,6 +507,7 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
     spark = get_spark("tsforge-bench-queries", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8))
     timings: dict[str, float] = {}
+    st0 = _steal_begin()
     try:
         t0 = time.time()
         QUERIES["rollup_minute"](spark, sf_dir).count()
@@ -477,7 +532,7 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
                 gc.collect()
     finally:
         spark.stop()
-    return timings, cold_first
+    return timings, cold_first, _steal_pct(st0)
 
 
 def run_cluster_scaling(store_dir: str, work_root: str) -> dict:
@@ -522,18 +577,23 @@ def run_cluster_scaling(store_dir: str, work_root: str) -> dict:
     n_turns = big.get("turns")
     # compute-only probe (rollup->fold->encode, no sinks): separates the
     # engine's parallel fraction from the sandbox's single shared disk
-    c_small = max(run_compute_probe(n_small * c_exec, store_dir,
-                                    master=f"local-cluster[{n_small},{c_exec},{mem}]")
-                  for _ in (0, 1))
-    c_big = max(run_compute_probe(n_big * c_exec, store_dir,
-                                  master=f"local-cluster[{n_big},{c_exec},{mem}]")
-                for _ in (0, 1))
+    c_small, c_small_steal = max(
+        run_compute_probe(n_small * c_exec, store_dir,
+                          master=f"local-cluster[{n_small},{c_exec},{mem}]")
+        for _ in (0, 1))
+    c_big, c_big_steal = max(
+        run_compute_probe(n_big * c_exec, store_dir,
+                          master=f"local-cluster[{n_big},{c_exec},{mem}]")
+        for _ in (0, 1))
     return {
         "mode": "executor-jvms",
         "turns": n_turns,
         "compute_turns_per_sec_small": round(c_small, 1),
         "compute_turns_per_sec_big": round(c_big, 1),
         "compute_efficiency": round((c_big / c_small) / factor, 3),
+        "compute_steal_pct": [c_small_steal, c_big_steal],
+        "steal_pct_small": small.get("steal_pct"),
+        "steal_pct_big": big.get("steal_pct"),
         "executors_small": f"{n_small}x{c_exec}cores",
         "executors_big": f"{n_big}x{c_exec}cores",
         "exec_mem_mb": mem,
@@ -554,9 +614,10 @@ def main() -> None:
     skip_queries = "--skip-queries" in sys.argv
     if "--queries-only" in sys.argv:
         # child mode (see below): catalog section in its own process
-        timings, cold_first = run_queries(SF_DIR)
+        timings, cold_first, steal = run_queries(SF_DIR)
         print(json.dumps({"queries": timings,
-                          "cold_first_query_sec": cold_first}))
+                          "cold_first_query_sec": cold_first,
+                          "catalog_steal_pct": steal}))
         return
     sf = _sf_from_dir(SF_DIR)
     n_convs = int(os.environ.get("TSF_BENCH_CONVS", max(int(200_000 * sf), 200)))
@@ -610,14 +671,19 @@ def main() -> None:
                 "speedup": round(
                     r_big["turns_per_sec"] / r_small["turns_per_sec"], 2
                 ),
+                "steal_pct_small": r_small.get("steal_pct"),
+                "steal_pct_big": r_big.get("steal_pct"),
             }
-            c_small = run_compute_probe(n_small, store_dir)
-            c_big = run_compute_probe(n_big, store_dir)
+            c_small, c_small_steal = run_compute_probe(n_small, store_dir)
+            c_big, c_big_steal = run_compute_probe(n_big, store_dir)
             extras["scaling"]["compute_turns_per_sec_small"] = round(c_small, 1)
             extras["scaling"]["compute_turns_per_sec_big"] = round(c_big, 1)
             extras["scaling"]["compute_efficiency"] = round(
                 (c_big / c_small) / (n_big / n_small), 3
             )
+            extras["scaling"]["compute_steal_pct"] = [
+                c_small_steal, c_big_steal,
+            ]
             # accumulate a RUN LIST per config pair — the box has ±20%
             # run-to-run variance, so single snapshots mislead; consumers
             # take the best complete run and can see the spread
@@ -649,6 +715,11 @@ def main() -> None:
             main_run = max(runs, key=lambda r: r["turns_per_sec"])
             extras["pipeline_runs"] = [
                 round(r["turns_per_sec"], 1) for r in runs
+            ]
+            # per-run host steal% (same order as pipeline_runs): a low
+            # run with high steal is the hypervisor, not the code
+            extras["pipeline_runs_steal_pct"] = [
+                r.get("steal_pct") for r in runs
             ]
             extras["incremental"] = run_incremental(
                 CPUS, store_dir, work_root, n_convs
@@ -691,8 +762,9 @@ def main() -> None:
                     sys.stderr.write("\nqueries-only child failed; "
                                      "falling back to in-process "
                                      "catalog\n")
-                queries, cold_first = run_queries(SF_DIR)
+                queries, cold_first, cat_steal = run_queries(SF_DIR)
                 extras["cold_first_query_sec"] = cold_first
+                extras["catalog_steal_pct"] = cat_steal
                 extras["catalog_in_process_fallback"] = True
             else:
                 qres = json.loads(qline[-1])
@@ -702,6 +774,7 @@ def main() -> None:
                 # cold catalog query before any warm-up, now in a
                 # genuinely cold JVM
                 extras["cold_first_query_sec"] = qres["cold_first_query_sec"]
+                extras["catalog_steal_pct"] = qres.get("catalog_steal_pct")
 
         out = {
             "metric": METRIC,
@@ -713,6 +786,8 @@ def main() -> None:
             "pipeline_wall_sec": round(main_run["wall_sec"], 2),
             "blob_bytes": main_run["blob_bytes"],
             "stage_sec": main_run.get("stage_sec", {}),
+            "stage_bytes": main_run.get("stage_bytes", {}),
+            "steal_pct": main_run.get("steal_pct"),
             "cores": CPUS,
             **extras,
         }

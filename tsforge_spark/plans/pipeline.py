@@ -964,9 +964,42 @@ class RollupPipeline:
             "last_snapshot_id": last,
             "affected_days": len(affected_days),
             "stage_sec": stage_sec,
+            "stage_bytes": self._stage_bytes(int(blob_bytes_written)),
         }
         metrics.log("done", **{k: v for k, v in result.items() if k != "status"})
         return result
+
+    def _stage_bytes(self, blob_bytes: int) -> dict:
+        """Bytes-level audit of a run, from FILESYSTEM facts only (dir
+        walks + the write job's own observation metric — Iceberg: the
+        commit manifests' file sizes; no Spark jobs).  Sizes are
+        POST-run store totals, not per-run deltas, except
+        ``blobs_written`` which is this run's actual blob output; on a
+        first run totals == this run's writes.  Divide
+        ``turns_store / stage_sec['prepare']`` for the store write's
+        effective bandwidth — the number that says whether prepare is
+        at the substrate's write floor or leaving headroom."""
+
+        def _du(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        out = {
+            "input_store": _du(self.store.path)
+            if hasattr(self.store, "path") else None,
+            "turns_store": _du(self.turns_path),
+            "blobs_store": _du(os.path.join(self.out, "blobs")),
+            "blobs_written": int(blob_bytes),
+        }
+        for tier in ("1m", "1h", "1d"):
+            out[f"tier_{tier}"] = _du(self.tier_path(tier))
+        return out
 
     # ---- retention ----
     def enforce_retention(
