@@ -683,6 +683,31 @@ def main() -> None:
                           "cold_first_query_sec": cold_first,
                           "catalog_steal_pct": steal}))
         return
+    if "--cold-probe" in sys.argv:
+        # child mode: the query-service startup posture (VERDICT r6 #8)
+        # — fresh JVM, session.warm_start() absorbs the first-execution
+        # fixed costs, THEN the first real query is timed.  Paired with
+        # the queries-only child's cold_first_query_sec (no warm-up),
+        # the record carries cold-before AND cold-after.
+        from tsforge_spark.catalog import QUERIES
+        from tsforge_spark.session import get_spark, warm_start
+
+        spark = get_spark("tsforge-cold-probe", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8))
+        try:
+            ws = warm_start(
+                spark, tiny_parquet=f"{SF_DIR}/region.parquet"
+            )
+            t0 = time.time()
+            QUERIES["rollup_minute"](spark, SF_DIR).count()
+            first = time.time() - t0
+            print(json.dumps({
+                "warm_start_sec": round(ws, 2),
+                "first_query_after_warm_start_sec": round(first, 3),
+            }))
+        finally:
+            spark.stop()
+        return
     sf = _sf_from_dir(SF_DIR)
     n_convs = int(os.environ.get("TSF_BENCH_CONVS", max(int(200_000 * sf), 200)))
     work_root = tempfile.mkdtemp(prefix="tsforge_bench_")
@@ -839,6 +864,18 @@ def main() -> None:
                 # genuinely cold JVM
                 extras["cold_first_query_sec"] = qres["cold_first_query_sec"]
                 extras["catalog_steal_pct"] = qres.get("catalog_steal_pct")
+            # cold-AFTER reference: a second fresh JVM that runs
+            # session.warm_start() before its first query — the query-
+            # service startup posture.  Best-effort: a probe failure
+            # never loses the record.
+            probe = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cold-probe"],
+                capture_output=True, text=True, cwd=os.getcwd(),
+            )
+            pline = [ln for ln in probe.stdout.splitlines()
+                     if ln.startswith("{")]
+            if probe.returncode == 0 and pline:
+                extras.update(json.loads(pline[-1]))
 
         out = {
             "metric": METRIC,

@@ -99,3 +99,27 @@ def get_spark(
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_start(spark: SparkSession, tiny_parquet: str | None = None) -> float:
+    """Absorb the session's FIRST-EXECUTION fixed costs before serving:
+    the first job in a fresh JVM pays task-scheduler/codegen-framework/
+    JIT initialization that later jobs never see again (measured on
+    this substrate: the same sf0.1 rollup runs ~7.1s as the session's
+    first job vs ~1.8s as its second — while a trivial
+    ``range→groupBy→agg`` + one tiny parquet scan absorb the same ~6s).
+    A resident query service runs this once at startup so USER-facing
+    first-query latency is query cost, not session cost.  Returns the
+    seconds spent (callers record it — the cost is moved, not hidden).
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t0 = _time.time()
+    spark.range(1000).groupBy((F.col("id") % 10).alias("g")).agg(
+        F.count(F.lit(1)), F.sum("id"), F.min("id"), F.max("id")
+    ).count()
+    if tiny_parquet and os.path.exists(tiny_parquet):
+        spark.read.parquet(tiny_parquet).count()
+    return _time.time() - t0
