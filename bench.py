@@ -642,13 +642,13 @@ def run_cluster_scaling(store_dir: str, work_root: str) -> dict:
     # compute-only probe (rollup->fold->encode, no sinks): separates the
     # engine's parallel fraction from the sandbox's single shared disk
     c_small, c_small_steal = max(
-        run_compute_probe(n_small * c_exec, store_dir,
-                          master=f"local-cluster[{n_small},{c_exec},{mem}]")
-        for _ in (0, 1))
+        (run_compute_probe(n_small * c_exec, store_dir,
+                           master=f"local-cluster[{n_small},{c_exec},{mem}]")
+         for _ in (0, 1)), key=lambda t: t[0])
     c_big, c_big_steal = max(
-        run_compute_probe(n_big * c_exec, store_dir,
-                          master=f"local-cluster[{n_big},{c_exec},{mem}]")
-        for _ in (0, 1))
+        (run_compute_probe(n_big * c_exec, store_dir,
+                           master=f"local-cluster[{n_big},{c_exec},{mem}]")
+         for _ in (0, 1)), key=lambda t: t[0])
     return {
         "mode": "executor-jvms",
         "turns": n_turns,
