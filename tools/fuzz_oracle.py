@@ -282,6 +282,149 @@ def t_zscore(rng: random.Random):
     return name, spark_fn, sql
 
 
+def t_sessionize(rng: random.Random):
+    gap_min = rng.choice([5, 10, 30, 60, 120])
+    name = f"sessionize(gap={gap_min}m)"
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from tsforge_spark.operators.sessions import sessionize
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sess = sessionize(
+            ev, "user_id", "ts", gap=f"{gap_min} minutes",
+            order_cols=["ts", "event_id"],
+        )
+        per = sess.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (F.unix_micros(F.max("ts").cast("timestamp"))
+                 - F.unix_micros(F.min("ts").cast("timestamp"))) / 1e6
+            ).alias("dur_s"),
+        )
+        return per.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("dur_s"), 6).alias("total_session_sec"),
+        )
+
+    sql = f"""
+        WITH s AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts > lag(ts) OVER w + INTERVAL {gap_min} MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sid AS (SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - 1 AS session_id
+                FROM s),
+        per AS (SELECT user_id, session_id, count(*) AS n_events,
+                       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS dur_s
+                FROM sid GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events,
+               round(sum(dur_s), 6) AS total_session_sec
+        FROM per GROUP BY user_id
+    """
+    return name, spark_fn, sql
+
+
+def t_gapfill_locf(rng: random.Random):
+    g = rng.choice(["hour", "day"])
+    name = f"gapfill_locf(grain={g})"
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        h = ev.groupBy(
+            "user_id", F.date_trunc(g, "ts").alias("bucket")
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            )
+        )
+        span = h.groupBy("user_id").agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        )
+        grid = span.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(lo, hi, interval 1 {g})")
+            ).alias("bucket"),
+        )
+        j = grid.join(h, ["user_id", "bucket"], "left")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return j.select(
+            "user_id",
+            "bucket",
+            F.last("sum_cents", ignorenulls=True).over(w).alias(
+                "filled_cents"
+            ),
+        )
+
+    sql = f"""
+        WITH h AS (
+          SELECT user_id, date_trunc('{g}', ts) AS bucket,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+              FROM h GROUP BY 1),
+        g AS (SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 {g.upper()}))
+                         AS bucket
+              FROM s),
+        j AS (SELECT g.user_id, g.bucket, h.sum_cents
+              FROM g LEFT JOIN h
+                ON g.user_id = h.user_id AND g.bucket = h.bucket)
+        SELECT user_id, bucket,
+               last_value(sum_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_cents
+        FROM j
+    """
+    return name, spark_fn, sql
+
+
+def t_dow_profile(rng: random.Random):
+    agg_type = rng.choice(["n", "cents"])
+    name = f"dow_profile(measure={agg_type})"
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        dow = ((F.dayofweek("ts") + 5) % 7).cast("int")
+        base = ev.groupBy("event_type", dow.alias("dow"))
+        if agg_type == "n":
+            return base.agg(F.count(F.lit(1)).alias("m"))
+        return base.agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("m")
+        )
+
+    measure = (
+        "count(*)" if agg_type == "n"
+        else "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
+    )
+    sql = f"""
+        SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS dow,
+               {measure} AS m
+        FROM events GROUP BY 1, 2
+    """
+    return name, spark_fn, sql
+
+
 TEMPLATES = [
     t_bucket_rollup,
     t_fold_exactness,
@@ -290,6 +433,9 @@ TEMPLATES = [
     t_topn,
     t_det_sample,
     t_zscore,
+    t_sessionize,
+    t_gapfill_locf,
+    t_dow_profile,
 ]
 
 
