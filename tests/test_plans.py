@@ -302,3 +302,14 @@ def test_kernel_exchange_survives_planner(spark, entry):
     assert f"hashpartitioning(gid" in plan, plan
     # the explicit 2·cores+1 count is present on a surviving exchange
     assert f", {n}), REPARTITION_BY_NUM" in plan, (n, plan)
+
+
+def test_warm_start_runs_and_returns_duration(spark):
+    """session.warm_start is the query-service startup posture (absorb
+    first-execution machinery before serving).  Pin the API: runs on a
+    live session, returns the seconds it spent, session still works."""
+    from tsforge_spark.session import warm_start
+
+    dt = warm_start(spark, tiny_parquet=f"{SF}/region.parquet")
+    assert isinstance(dt, float) and dt >= 0.0
+    assert spark.range(3).count() == 3
