@@ -49,10 +49,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan, hash-spread on user_id when the file layout scans
+    too few splits to occupy the cores (round 8: the sf1.0 events file
+    is one row group → 4 splits, serializing every consumer's partial
+    aggregate; ``spread_scan`` is a no-op on real many-file inputs).
+    user_id is the clustering key every consumer groups or windows by,
+    so the inserted exchange replaces — not adds to — the consumer's
+    own shuffle.  All consumer aggregates are integer-cents partials
+    (order-invariant), so values are unchanged."""
+    from tsforge_spark.operators.partitioning import spread_scan
+
+    return spread_scan(_read(spark, sf_dir, "events"), "user_id")
+
+
 def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The event 1h tier with algebraic partials (engine tier shape)."""
     return (
-        _read(spark, sf_dir, "events")
+        _events_spread(spark, sf_dir)
         .groupBy("user_id", bucket_expr("ts", "1h").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -65,7 +79,7 @@ def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _read(spark, sf_dir, "events")
+        _events_spread(spark, sf_dir)
         .groupBy("user_id", bucket_expr("ts", "1m").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -262,7 +276,7 @@ def q_outlier_zscore(spark, sf_dir):
 def q_peak_hour(spark, sf_dir):
     """Peak hour-of-day per user (argmax via row_number, SURVEY §2.4
     eda/diagnostics.py:250-265)."""
-    ev = _read(spark, sf_dir, "events")
+    ev = _events_spread(spark, sf_dir)
     per = ev.groupBy("user_id", F.hour("ts").alias("hod")).agg(
         F.sum(_cents()).alias("s"), F.count(F.lit(1)).alias("n")
     )
@@ -283,6 +297,9 @@ def q_peak_hour(spark, sf_dir):
 def q_seasonal_profile_dow(spark, sf_dir):
     """Day-of-week seasonal profile (SURVEY §2.4,
     plots/charts/plot_seasonal.py:102-118)."""
+    # NOT spread: this groups to 10 cohorts × 7 dows, so the partial
+    # aggregate collapses the scan to 70 rows — a pre-agg raw-row
+    # shuffle only adds cost here (A/B'd: 0.39s as-is vs 0.90s spread).
     ev = _read(spark, sf_dir, "events")
     dow = (F.dayofweek("ts") + 5) % 7
     g = ev.groupBy((F.col("user_id") % 10).alias("cohort"), dow.alias("dow")).agg(

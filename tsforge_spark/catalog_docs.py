@@ -105,13 +105,27 @@ def q_minhash_lsh_jaccard(spark, sf_dir):
     docs×shingles, not pairs."""
     from tsforge_spark.operators.dedup import shingle_table
 
+    from tsforge_spark.operators.partitioning import kernel_repartition
+
     d = _read(spark, sf_dir, "documents")
     # shingles computed once, shared by the signature and verification
     # stages; localCheckpoint blocks are GC-cleaned (persist leaked
     # cache entries across the 50-query bench session).  Not
     # fault-tolerant — see the trade-off note in
     # operators/dedup.lsh_candidate_pairs
-    sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    #
+    # kernel_repartition first: a single-row-group documents file scans
+    # as ONE split, and the whole shingle+md5 map-side pipeline (the
+    # query's dominant cost — measured 4.6s shingles + 2.3s signatures
+    # at sf1.0) ran serially in that one task, as did everything
+    # downstream of the one-partition checkpoint.  Hash on doc_id,
+    # 2·cores+1 user-numbered partitions (AQE-exempt): the shuffle
+    # moves only the raw (doc_id, text) rows once, before any derived
+    # work, and at scale (many input files) it simply rebalances.
+    sh = shingle_table(
+        kernel_repartition(d.select("doc_id", "text"), "doc_id"),
+        "doc_id", "text",
+    ).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(
         d, "doc_id", "text", k_hashes=8, bands=4, shingles=sh
     )
@@ -138,6 +152,7 @@ def q_embedding_neardup(spark, sf_dir):
     the sqrt-k layout cuts within-cell pairs ~3x at that scale."""
     import math
 
+    from tsforge_spark.operators.partitioning import kernel_repartition
     from tsforge_spark.operators.similarity import dot, norm
 
     # norms are precomputed ONCE per vector and reused across every
@@ -145,8 +160,20 @@ def q_embedding_neardup(spark, sf_dir):
     # expressions are interpreted (no codegen), so an O(dim) norm
     # recomputed n·k + pairs times was most of this query's data cost.
     # The value is the identical IEEE chain, so the oracle is unchanged.
-    e = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    #
+    # kernel_repartition (round 8): a single-row-group embeddings file
+    # scans as ONE split, so the n·k assignment scores and the
+    # within-cell pair scores all ran serially — 17.5s of this query's
+    # 22.1s at sf1.0.  Hashing vec_id across 2·cores+1 user-numbered
+    # partitions (AQE-exempt) parallelizes the broadcast-NLJ probe and
+    # everything downstream of the checkpoint for one tiny shuffle of
+    # the raw vectors (measured: assignment 17.5s → 0.98s, pairs
+    # 1.3s unchanged).  Values are untouched — same rows, same math.
+    e = kernel_repartition(
+        _read(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        ),
+        "vec_id",
     ).withColumn("nrm", norm(F.col("e")))
     # n from the parquet FOOTER (Iceberg: the snapshot's manifest row
     # count) — the sqrt-k sizing needs only the table cardinality, and
@@ -262,8 +289,16 @@ def q_ann_ivf(spark, sf_dir):
     cents_df = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
+    # kernel_repartition (round 8): the single-row-group embeddings
+    # file scans as ONE split, so the n·16 assignment scores ran
+    # serially (most of this query's 4.7s at sf1.0); hashing vec_id
+    # across 2·cores+1 user-numbered partitions parallelizes them for
+    # one tiny shuffle of the raw vectors.  Values untouched.
+    from tsforge_spark.operators.partitioning import kernel_repartition
+
     assigned = assign_cells_relational(
-        e.filter(F.col("vec_id") != 0), cents_df
+        kernel_repartition(e.filter(F.col("vec_id") != 0), "vec_id"),
+        cents_df,
     )
     cand = assigned.filter(F.col("cell").isin(probe_ids))
     scored = cand.select(

@@ -61,9 +61,24 @@ def complete_grid(df: DataFrame, id_col: str, time_col: str, freq: str) -> DataF
     scale.  Both _lo/_hi and the day boundaries are freq-aligned, so
     the union of per-day sequences is exactly the single-level
     sequence."""
+    from tsforge_spark.operators.partitioning import kernel_repartition
+
     spans = df.groupBy(id_col).agg(
         F.min(time_col).alias("_lo"), F.max(time_col).alias("_hi")
     )
+    # The spans table is tiny (one row per series), so AQE coalesces its
+    # exchange to one-or-two partitions by BYTES — and the explode below
+    # then fans a row-per-series input out to the FULL grid inside that
+    # same task layout.  Everything downstream that needs no new shuffle
+    # (per-id window sorts, broadcast-join probes, partial aggregates)
+    # inherits the near-serial layout: measured at sf1.0, perm_entropy's
+    # 10.5M-row sort+window ran on ~1 task for 7.3s and missing_hours'
+    # anti-join for 4.2s.  A user-numbered hash repartition on the id —
+    # 2·cores+1, exempt from AQE coalescing, pennies to shuffle at one
+    # row per series — pins the explode's parallelism at any scale
+    # (series count >> partitions) while per-id locality is preserved
+    # for every downstream window/groupBy.
+    spans = kernel_repartition(spans, id_col)
     if freq in ("1m", "1h"):
         # The chunk windows are PHYSICAL 24h spans anchored at _lo in
         # pure microsecond arithmetic — window k covers

@@ -35,6 +35,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Round-8 measurement note (keep for the next optimizer): expanding
+# dot/norm for a known dim into explicit ``a[0]*b[0] + a[1]*b[1] + …``
+# GetArrayItem chains — "codegen-able, so it must beat the interpreted
+# HOF fold" — is 3-6x SLOWER than the fold on 64-dim vectors (measured
+# 54.8s vs 17.5s for the same n·k assignment serial, 6.8s vs 0.98s
+# parallel): the 192-node expression blows past the JIT's effective
+# method budget and every term re-checks null/bounds, while the fold
+# runs one tight interpreted loop over the array.  The actual lever for
+# the embedding queries was scan parallelism (kernel_repartition), not
+# expression form.
+
+
 def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
