@@ -42,13 +42,69 @@ VARIANTS = {
     "base": ({}, {}),
     "ccw": ({"spark.sql.maxConcurrentOutputFileWriters": "48"}, {}),
     "zstd_shuffle": ({"spark.io.compression.codec": "zstd"}, {}),
+    "sortpfx": ({}, {}),
+    "daykey": ({}, {}),
+    "ccw16": ({"spark.sql.maxConcurrentOutputFileWriters": "16"}, {}),
 }
+
+
+def _patch_daykey():
+    """Monkeypatch salted_layout to include day in the repartition key
+    (900 distinct keys over 64 partitions instead of 64-into-64 hash
+    collisions) for the A/B."""
+    import pyspark.sql.functions as F
+
+    import tsforge_spark.operators.skew as skew
+
+    def patched(df, key="conv_id", order_col="turn_idx", n_buckets=32,
+                hot_threshold=100_000, block_size=50_000, hot_ids=None,
+                sort_prefix=()):
+        if hot_ids is None:
+            hot = skew.hot_keys(df, key, hot_threshold).withColumn(
+                "_hot", F.lit(1))
+            out = df.join(F.broadcast(hot), key, "left")
+            is_hot = F.col("_hot").isNotNull()
+        else:
+            out = df
+            is_hot = F.col(key).isin(hot_ids) if hot_ids else F.lit(False)
+        salt = F.when(
+            is_hot, (F.col(order_col).cast("long") / F.lit(block_size))
+            .cast("int")).otherwise(F.lit(0))
+        out = out.withColumn(
+            "bucket_id",
+            F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int"),
+        ).withColumn("salt", salt)
+        if hot_ids is None:
+            out = out.drop("_hot")
+        return out.repartition("day", "bucket_id", "salt").sortWithinPartitions(
+            *sort_prefix, F.xxhash64(key), key, "ts", order_col
+        )
+
+    skew.salted_layout = patched
+
+
+def _patch_sortpfx():
+    """Monkeypatch salted_layout to prefix the write's partition columns
+    into the layout sort (single-sort write path) for the A/B."""
+    import tsforge_spark.operators.skew as skew
+
+    orig = skew.salted_layout
+
+    def patched(df, **kw):
+        kw.setdefault("sort_prefix", ("day", "bucket_id"))
+        return orig(df, **kw)
+
+    skew.salted_layout = patched
 
 if __name__ == "__main__":
     store = sys.argv[1]
     variant = sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     confs, kw = VARIANTS[variant]
+    if variant == "sortpfx":
+        _patch_sortpfx()
+    if variant == "daykey":
+        _patch_daykey()
     outs = []
     for i in range(reps):
         r = run_once(store, confs, kw)

@@ -392,6 +392,10 @@ class RollupPipeline:
             hot_threshold=self.hot_threshold,
             block_size=self.hot_block_size,
             hot_ids=hot_ids,
+            # day joins the exchange key (NOT the sort): ~days× more
+            # distinct partition values over the same partition count
+            # evens the write wave out — see salted_layout's note.
+            extra_partition_cols=("day",),
         )
 
     def _stage_dir(self, name: str) -> str:
@@ -667,6 +671,114 @@ class RollupPipeline:
         shutil.rmtree(blob_staging, ignore_errors=True)
         return int(obs_blobs.get["bytes"] or 0)
 
+    def _fold_and_blobs(
+        self,
+        affected_days,
+        cells_hint: int | None,
+        prune_convs: bool,
+        delta_convs,
+        first_run: bool,
+        metrics,
+    ) -> dict:
+        """1h/1d folds ∥ blob encodes for the affected days (the fold
+        topology and thread split documented at the call sites).
+        Extracted from ``run`` (round 8) so the FIRST-RUN path can
+        chain it inside the tier thread, overlapping the whole fold +
+        blob section with the store write — it depends only on the
+        committed 1m tier, never on the turns-store write.  Returns
+        stage timings + bytes for the caller's accounting."""
+        import threading as _threading
+
+        day_filter = self._day_filter("day", affected_days)
+        blob_timings: dict[str, float] = {}
+        blob_errors: list[BaseException] = []
+        blob_bytes_box: dict[str, int] = {}
+
+        def _spawn_blob(tier: str) -> _threading.Thread:
+            def _run() -> None:
+                t0 = time.time()
+                try:
+                    blob_bytes_box[tier] = self._encode_and_commit_blobs(
+                        [tier], f"blobs_{tier}", affected_days,
+                        prune_convs, delta_convs,
+                        # first runs encode FULL history, where cell
+                        # count ≈ turn count — bounds encode-group size
+                        # at scale; incremental windows are day-bounded
+                        # already
+                        cells_hint=cells_hint,
+                    )
+                except BaseException as e:  # noqa: BLE001 — rethrown below
+                    blob_errors.append(e)
+                blob_timings[f"blob_{tier}"] = time.time() - t0
+
+            t = _threading.Thread(target=_run)
+            t.start()
+            return t
+
+        # Split granularity is adaptive: big (re)builds use the finest
+        # pipelining (1h blobs ∥ 1d fold — a third blob job whose launch
+        # cost is dwarfed by the encode), while small incremental deltas
+        # batch 1h+1d into one job — their encodes are tiny, so an extra
+        # job launch costs more than the overlap saves (A/B'd on the
+        # sf0.1 daily delta).
+        fine_split = first_run or len(affected_days) > 4
+
+        t_all0 = time.time()
+        t_fold0 = time.time()
+        th_1m = _spawn_blob("1m")
+
+        upd_1m = day_filter(self.spark.read.parquet(self.tier_path("1m")))
+        upd_1h = fold_tier(upd_1m.drop("day"), "1h").withColumn(
+            "day", F.to_date("bucket")
+        )
+        self._merge_partitions(upd_1h, self.tier_path("1h"), "day", "t1h")
+        # 1h blobs only need the committed 1h tier — encode them while
+        # the 1d fold runs
+        th_1h = _spawn_blob("1h") if fine_split else None
+        upd_1h_read = day_filter(
+            self.spark.read.parquet(self.tier_path("1h"))
+        )
+        upd_1d = fold_tier(upd_1h_read.drop("day"), "1d").withColumn(
+            "day", F.to_date("bucket")
+        )
+        self._merge_partitions(upd_1d, self.tier_path("1d"), "day", "t1d")
+        fold_sec = time.time() - t_fold0
+        for t in (th_1m, th_1h) if th_1h is not None else (th_1m,):
+            t.join()
+        if blob_errors:
+            raise blob_errors[0]
+        tail_tiers = ["1d"] if fine_split else ["1h", "1d"]
+        blob_bytes_box["tail"] = self._encode_and_commit_blobs(
+            tail_tiers, "blobs_tail", affected_days, prune_convs,
+            delta_convs,
+            # coarse tiers hold ≲1/60 of the 1m cells; the turns bound
+            # still caps their group size on full-history runs
+            cells_hint=cells_hint,
+        )
+        metrics.log("tier_fold", tiers=["1h", "1d"])
+        blob_bytes_written = sum(blob_bytes_box.values())
+        metrics.log("blobs", blob_bytes_written=int(blob_bytes_written))
+        return {
+            "fold_sec": round(fold_sec, 2),
+            "blob_1m_sec": round(blob_timings.get("blob_1m", 0.0), 2),
+            "total_sec": round(time.time() - t_all0, 2),
+            "blob_bytes": int(blob_bytes_written),
+        }
+
+    def _tier_footer_cells(self, tier: str) -> int:
+        """Exact tier cell count from the committed tier's parquet
+        footers — driver-side metadata only (Iceberg: manifest stats)."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for root, _dirs, files in os.walk(self.tier_path(tier)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return n
+
     # ---- main entry ----
     def run(self) -> dict:
         """Process every snapshot after the checkpoint; no-op when
@@ -738,6 +850,8 @@ class RollupPipeline:
                     errors.append(e)
                 timings["write"] = time.time() - t0
 
+            fold_box: dict = {}
+
             def _t_tier() -> None:
                 t0 = time.time()
                 try:
@@ -750,9 +864,42 @@ class RollupPipeline:
                     self._merge_partitions(
                         upd, self.tier_path("1m"), "day", "t1m"
                     )
+                    timings["tier"] = time.time() - t0
+                    # Chain the 1h/1d folds + blob encodes HERE (round
+                    # 8): they depend only on the 1m tier committed one
+                    # line up — never on the turns-store write — so on a
+                    # first run the entire fold+blob section overlaps
+                    # the write's remaining tail instead of waiting for
+                    # the barrier (measured at sf1.0: write 32s, tier
+                    # 19s; folds+blobs ~11s previously ran AFTER the
+                    # write).  The affected-day set and the cells hint
+                    # come from the tier's OWN partition dirs/footers
+                    # (day = to_date(bucket) == to_date(ts), the same
+                    # day set the store write creates); crash semantics
+                    # are unchanged — the checkpoint still commits only
+                    # after everything, and a crash mid-overlap replays
+                    # into the same idempotent affected-day recompute as
+                    # a crash mid-write did before.
+                    import datetime as _dt3
+
+                    days_1m = sorted(
+                        _dt3.date.fromisoformat(sub.split("=", 1)[1])
+                        for sub in os.listdir(self.tier_path("1m"))
+                        if sub.startswith("day=")
+                    )
+                    fold_box["days"] = days_1m
+                    if days_1m:
+                        fold_box["result"] = self._fold_and_blobs(
+                            days_1m,
+                            cells_hint=self._tier_footer_cells("1m"),
+                            prune_convs=False,
+                            delta_convs=None,
+                            first_run=True,
+                            metrics=metrics,
+                        )
                 except BaseException as e:  # noqa: BLE001 — rethrown below
                     errors.append(e)
-                timings["tier"] = time.time() - t0
+                timings.setdefault("tier", time.time() - t0)
 
             t_overlap0 = time.time()
             threads = [
@@ -870,85 +1017,39 @@ class RollupPipeline:
         # cells + 1x hour cells, the minimum.  (fold_tiers_multi in
         # operators/rollup.py is the tested single-job alternative for
         # setups where job-launch cost dominates shuffle volume.)
-        delta_convs = self._probe_info.get("delta_convs")
-        prune_convs = (
-            delta_convs is not None
-            and not first_run
-            and os.path.exists(self.blobs_path)
-        )
-        blob_timings: dict[str, float] = {}
-        blob_errors: list[BaseException] = []
-        blob_bytes_box: dict[str, int] = {}
-
-        import threading as _threading
-
-        def _spawn_blob(tier: str) -> _threading.Thread:
-            def _run() -> None:
-                t0 = time.time()
-                try:
-                    blob_bytes_box[tier] = self._encode_and_commit_blobs(
-                        [tier], f"blobs_{tier}", affected_days,
-                        prune_convs, delta_convs,
-                        # first runs encode FULL history, where cell
-                        # count ≈ turn count (known from footers) —
-                        # bounds encode-group size at scale; incremental
-                        # windows are day-bounded already
-                        cells_hint=n_turns if first_run else None,
-                    )
-                except BaseException as e:  # noqa: BLE001 — rethrown below
-                    blob_errors.append(e)
-                blob_timings[f"blob_{tier}"] = time.time() - t0
-
-            t = _threading.Thread(target=_run)
-            t.start()
-            return t
-
-        # Split granularity is adaptive: big (re)builds use the finest
-        # pipelining (1h blobs ∥ 1d fold — a third blob job whose launch
-        # cost is dwarfed by the encode), while small incremental deltas
-        # batch 1h+1d into one job — their encodes are tiny, so an extra
-        # job launch costs more than the overlap saves (A/B'd on the
-        # sf0.1 daily delta).
-        fine_split = first_run or len(affected_days) > 4
-
-        t_fold0 = time.time()
-        th_1m = _spawn_blob("1m")
-
-        upd_1m = day_filter(self.spark.read.parquet(self.tier_path("1m")))
-        upd_1h = fold_tier(upd_1m.drop("day"), "1h").withColumn(
-            "day", F.to_date("bucket")
-        )
-        self._merge_partitions(upd_1h, self.tier_path("1h"), "day", "t1h")
-        # 1h blobs only need the committed 1h tier — encode them while
-        # the 1d fold runs
-        th_1h = _spawn_blob("1h") if fine_split else None
-        upd_1h_read = day_filter(
-            self.spark.read.parquet(self.tier_path("1h"))
-        )
-        upd_1d = fold_tier(upd_1h_read.drop("day"), "1d").withColumn(
-            "day", F.to_date("bucket")
-        )
-        self._merge_partitions(upd_1d, self.tier_path("1d"), "day", "t1d")
-        fold_sec = time.time() - t_fold0
-        for t in (th_1m, th_1h) if th_1h is not None else (th_1m,):
-            t.join()
-        if blob_errors:
-            raise blob_errors[0]
-        tail_tiers = ["1d"] if fine_split else ["1h", "1d"]
-        blob_bytes_box["tail"] = self._encode_and_commit_blobs(
-            tail_tiers, "blobs_tail", affected_days, prune_convs,
-            delta_convs,
-            # coarse tiers hold ≲1/60 of the 1m cells; the turns bound
-            # still caps their group size on full-history runs
-            cells_hint=n_turns if first_run else None,
-        )
-        stage_sec["tier_fold"] = round(fold_sec, 2)
-        stage_sec["blob_1m"] = round(blob_timings.get("blob_1m", 0.0), 2)
-        mark("_fold_blob")
-        stage_sec["blobs"] = stage_sec.pop("_fold_blob") - stage_sec["tier_fold"]
-        metrics.log("tier_fold", tiers=["1h", "1d"])
-        blob_bytes_written = sum(blob_bytes_box.values())
-        metrics.log("blobs", blob_bytes_written=int(blob_bytes_written))
+        if first_run:
+            # folds + blobs already ran inside the tier thread,
+            # overlapped with the store write (see _t_tier); surface
+            # their timings into the stage accounting.  mark() is NOT
+            # advanced — their wall was inside overlap_wall.
+            fold_res = fold_box.get("result") or {
+                "fold_sec": 0.0, "blob_1m_sec": 0.0, "total_sec": 0.0,
+                "blob_bytes": 0,
+            }
+            stage_sec["tier_fold"] = fold_res["fold_sec"]
+            stage_sec["blob_1m"] = fold_res["blob_1m_sec"]
+            stage_sec["blobs"] = round(
+                fold_res["total_sec"] - fold_res["fold_sec"], 2
+            )
+        else:
+            delta_convs = self._probe_info.get("delta_convs")
+            prune_convs = (
+                delta_convs is not None
+                and os.path.exists(self.blobs_path)
+            )
+            mark("_pre_fold")
+            stage_sec.pop("_pre_fold", None)
+            fold_res = self._fold_and_blobs(
+                affected_days, cells_hint=None, prune_convs=prune_convs,
+                delta_convs=delta_convs, first_run=False, metrics=metrics,
+            )
+            stage_sec["tier_fold"] = fold_res["fold_sec"]
+            stage_sec["blob_1m"] = fold_res["blob_1m_sec"]
+            mark("_fold_blob")
+            stage_sec["blobs"] = round(
+                stage_sec.pop("_fold_blob") - stage_sec["tier_fold"], 2
+            )
+        blob_bytes_written = fold_res["blob_bytes"]
 
         shutil.rmtree(ingest_staging, ignore_errors=True)
         ckpt.update(last_snapshot_id=last, runs=ckpt["runs"] + 1)
