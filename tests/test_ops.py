@@ -495,3 +495,13 @@ def test_one_hot_cardinality_cap(spark):
         wide, "c", categories=["cat_1", "cat_2"], max_categories=100
     ).toPandas()
     assert ok["c_cat_1"].sum() == 1 and ok["c_cat_2"].sum() == 1
+    # NULLs never become output columns, so they must not count toward
+    # the cap either: exactly max_categories real categories + NULL
+    # rows fits (ADVICE r7 — the old fit collected the NULL distinct
+    # row and raised spuriously at cap+1)
+    at_cap = spark.range(120).select(
+        F.when(F.col("id") < 100,
+               F.concat(F.lit("cat_"), F.col("id"))).alias("c")
+    )
+    fitted = one_hot_encode(at_cap, "c", max_categories=100)
+    assert len(fitted.columns) == 1 + 100

@@ -311,14 +311,15 @@ def t_sessionize(rng: random.Random):
 
     sql = f"""
         WITH s AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
                            OR ts > lag(ts) OVER w + INTERVAL {gap_min} MINUTE
                       THEN 1 ELSE 0 END AS new_sess
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sid AS (SELECT user_id, ts,
-                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            - 1 AS session_id
                 FROM s),

@@ -63,10 +63,20 @@ def _events_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread_scan(_read(spark, sf_dir, "events"), "user_id")
 
 
-def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The event 1h tier with algebraic partials (engine tier shape)."""
-    return (
+def _hourly(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """The event 1h tier with algebraic partials (engine tier shape).
+    ``spread=False`` opts a consumer out of the scan spread (right when
+    its terminal aggregate has no partial reduction, e.g. percentile —
+    see q_distribution_stats)."""
+    src = (
         _events_spread(spark, sf_dir)
+        if spread
+        else _read(spark, sf_dir, "events")
+    )
+    return (
+        src
         .groupBy("user_id", bucket_expr("ts", "1h").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -53,8 +53,13 @@ def q_semi_anti_join(spark, sf_dir):
 
 def q_distribution_stats(spark, sf_dir):
     """Per-series distribution stats incl. exact interpolated percentiles
-    and per-id max-normalization bound (SURVEY §2.4)."""
-    h = _hourly(spark, sf_dir)
+    and per-id max-normalization bound (SURVEY §2.4).
+
+    Reads the UNSPREAD hourly tier: ``percentile`` has no partial
+    reduction (every cell value travels to the final aggregate
+    regardless), so the scan-spread exchange only adds a raw-row
+    shuffle here (A/B at sf1.0: 0.27s unspread vs 0.49s spread)."""
+    h = _hourly(spark, sf_dir, spread=False)
     return h.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("sum_cents") / 100.0 / F.count(F.lit(1))).alias("mean_v"),

@@ -52,8 +52,15 @@ def one_hot_encode(
     driver (the reference's get_dummies silently explodes instead).
     Pass ``categories`` explicitly to skip the fit job entirely."""
     if categories is None:
+        # NULL is filtered BEFORE the capped fit: it never becomes an
+        # output column, so a column with exactly max_categories real
+        # categories plus NULLs must not trip the cap (ADVICE r7).
         fit = (
-            df.select(cat_col).distinct().limit(max_categories + 1).collect()
+            df.select(cat_col)
+            .where(F.col(cat_col).isNotNull())
+            .distinct()
+            .limit(max_categories + 1)
+            .collect()
         )
         if len(fit) > max_categories:
             raise ValueError(
