@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from tsforge_spark.operators.gapfill import complete_grid, fill_gaps, locf
 
@@ -206,3 +207,41 @@ def test_complete_grid_two_level_matches_single_sequence_any_tz(spark):
                 )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_zero_filled_series_matches_grid_join(spark):
+    """``zero_filled_series`` (round-8 single-pass gap-explode) must be
+    ROW-IDENTICAL to the grid + left-join + coalesce(0) zero-fill it
+    replaced on the catalog's hot paths — including multi-day gaps
+    (exercises the day-chunked explode) and values at both span edges."""
+    import datetime as dt
+
+    from tsforge_spark.operators.gapfill import (
+        complete_grid,
+        zero_filled_series,
+    )
+
+    rows = []
+    t0 = dt.datetime(2025, 1, 1, 0)
+    # id 1: hourly with a 3-day hole; id 2: single observation;
+    # id 3: dense pair at the end of a long span
+    for h, v in ((0, 5), (1, 7), (80, 9), (81, 1)):
+        rows.append((1, t0 + dt.timedelta(hours=h), v))
+    rows.append((2, t0, 42))
+    rows += [(3, t0 + dt.timedelta(hours=h), h) for h in (0, 50)]
+    src = spark.createDataFrame(rows, ["id", "t", "v"])
+    got = (
+        zero_filled_series(src, "id", "t", "v", "1h")
+        .orderBy("id", "t")
+        .toPandas()
+    )
+    h = src
+    grid = complete_grid(h.select("id", "t"), "id", "t", "1h")
+    want = (
+        grid.join(h, ["id", "t"], "left")
+        .select("id", "t", F.coalesce("v", F.lit(0)).alias("v"))
+        .orderBy("id", "t")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 82 + 1 + 51

@@ -216,10 +216,14 @@ def q_series_diagnostics(spark, sf_dir):
 def q_intermittency_sbc(spark, sf_dir):
     """Intermittency stats + Syntetos-Boylan class on the zero-filled
     hourly series (SURVEY §2.4, plot_intermittancy.py:110-155)."""
+    from tsforge_spark.operators.gapfill import zero_filled_series
+
     h = _hourly(spark, sf_dir).select("user_id", "bucket", "sum_cents")
-    grid = complete_grid(h, "user_id", "bucket", "1h")
-    y = grid.join(h, ["user_id", "bucket"], "left").select(
-        "user_id", "bucket", F.coalesce("sum_cents", F.lit(0)).alias("c")
+    # gap-explode zero-fill — row-identical to the former grid + left
+    # join + coalesce(0), one subtree instead of two (see
+    # operators/gapfill.zero_filled_series).
+    y = zero_filled_series(h, "user_id", "bucket", "sum_cents", "1h").select(
+        "user_id", "bucket", F.col("sum_cents").alias("c")
     )
     w = Window.partitionBy("user_id").orderBy("bucket")
     pos = y.withColumn("_pos", F.row_number().over(w))

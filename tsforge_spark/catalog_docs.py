@@ -129,7 +129,16 @@ def q_minhash_lsh_jaccard(spark, sf_dir):
     pairs = lsh_candidate_pairs(
         d, "doc_id", "text", k_hashes=8, bands=4, shingles=sh
     )
-    jac = ngram_jaccard(pairs, d, "doc_id", "text", shingles=sh)
+    # Broadcast the candidate-pair list into the verification joins
+    # (round 8): the pairs table is two longs per LSH candidate —
+    # inherently far smaller than the corpus — while the probe side
+    # carries the heavy shingle ARRAYS.  Without the hint both
+    # verification joins shuffled the array payload (guide §8's rule:
+    # move the lightweight proxy, not the heavy bytes); measured
+    # 2.07s → 0.57s at sf1.0.  Hinted at the catalog level, not inside
+    # ngram_jaccard: a deployment whose candidate set outgrows a
+    # broadcast keeps the generic shuffled operator.
+    jac = ngram_jaccard(F.broadcast(pairs), d, "doc_id", "text", shingles=sh)
     return jac.filter(F.col("jaccard") >= 0.2)
 
 
@@ -223,6 +232,17 @@ def q_embedding_neardup(spark, sf_dir):
         F.col("nrm").alias("nb"),
         F.col("cell").alias("blk"),
     )
+    # Size-gated broadcast of the build side (round 8): the checkpoint
+    # hides accurate stats from the planner, so the cell self-join
+    # defaulted to a shuffle join of both sides.  n is already known
+    # exactly from the footers — when the assigned table (vectors +
+    # norms) fits comfortably in a broadcast, hint it and the pair
+    # stage loses its exchange+sort entirely (measured 1.41s → 0.54s
+    # at sf1.0).  Over the gate the shuffled cell join stays — that is
+    # the 100-TB shape; this is the same size-based pick AQE would
+    # make if it could see through the checkpoint.
+    if n * (64 * 8 + 64) < (64 << 20):
+        b = F.broadcast(b)
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select(

@@ -16,10 +16,16 @@ from tsforge_spark.operators.sessions import (
 
 
 def _zero_filled_hourly(spark, sf_dir):
+    # gap-explode zero-fill (round 8): row-identical to the former
+    # complete_grid + left join + coalesce(0), without the second
+    # hourly-aggregate subtree and the full-tier broadcast build the
+    # join needed (perm_entropy 2.1s → 0.7s at sf1.0; equality pinned
+    # by test_zero_filled_series_matches_grid_join).
+    from tsforge_spark.operators.gapfill import zero_filled_series
+
     h = _hourly(spark, sf_dir).select("user_id", "bucket", "sum_cents")
-    grid = complete_grid(h, "user_id", "bucket", "1h")
-    return grid.join(h, ["user_id", "bucket"], "left").select(
-        "user_id", "bucket", F.coalesce("sum_cents", F.lit(0)).alias("c")
+    return zero_filled_series(h, "user_id", "bucket", "sum_cents", "1h").select(
+        "user_id", "bucket", F.col("sum_cents").alias("c")
     )
 
 

@@ -127,6 +127,68 @@ def complete_grid(df: DataFrame, id_col: str, time_col: str, freq: str) -> DataF
     )
 
 
+def zero_filled_series(
+    df: DataFrame, id_col: str, time_col: str, value_col: str, freq: str
+) -> DataFrame:
+    """Dense per-id series: ``value_col`` at observed buckets, 0 at every
+    missing bucket of the series' own [min, max] span — row-identical to
+    ``complete_grid(...).join(df, left) + coalesce(value, 0)`` (pinned by
+    ``test_zero_filled_series_matches_grid_join``), built in ONE pass.
+
+    Each observation explodes the run [bucket, next_bucket) — its own
+    bucket carrying the value, the gap carrying zeros — so there is no
+    spans aggregate, no second aggregate subtree for the join side, and
+    no broadcast hash relation over the full tier (round-8 measurement
+    at sf1.0: the join-based zero-fill spent ~1.4s building a 950k-row
+    broadcast and ~0.7s recomputing the tier for the second subtree;
+    perm_entropy over this operator runs 2.1s → 0.7s).
+
+    Gap runs explode in day chunks exactly like ``complete_grid`` (the
+    per-row array stays ≤ one day of buckets however long the gap), and
+    all window arithmetic is physical microseconds anchored at each
+    row's own bucket — the same DST/phase-exactness argument as the
+    grid's (see complete_grid's note)."""
+    w = Window.partitionBy(id_col).orderBy(time_col)
+    step_us = int(_FREQ_US[freq])
+    day_us = 86_400_000_000
+    # run end = the bucket just before the next observation (the last
+    # row's run is itself)
+    base = df.select(
+        F.col(id_col), F.col(time_col), F.col(value_col)
+    ).withColumn(
+        "_end_us",
+        F.coalesce(
+            F.unix_micros(F.lead(time_col).over(w).cast("timestamp"))
+            - F.lit(step_us),
+            F.unix_micros(F.col(time_col).cast("timestamp")),
+        ),
+    )
+    t_us = f"unix_micros(cast({time_col} as timestamp))"
+    days = base.withColumn(
+        "_k",
+        F.explode(
+            F.expr(f"sequence(0L, (_end_us - {t_us}) div {day_us})")
+        ),
+    )
+    win = f"({t_us} + _k * {day_us})"
+    bucket2 = F.expr(
+        f"explode(sequence(timestamp_micros({win}), "
+        f"timestamp_micros(least({win} + {day_us - step_us}, _end_us)), "
+        f"{_FREQ_INTERVAL[freq]}))"
+    )
+    out = days.select(
+        F.col(id_col), F.col(value_col), F.col(time_col).alias("_t0"),
+        bucket2.alias(time_col),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(time_col),
+        F.when(F.col(time_col) == F.col("_t0"), F.col(value_col))
+        .otherwise(F.lit(0))
+        .alias(value_col),
+    )
+
+
 def locf(df: DataFrame, cols: list[str], id_col: str, time_col: str) -> DataFrame:
     """Per-id forward fill: ``F.last(ignorenulls=True)`` over an
     unbounded-preceding window (``fill_gaps.py:97-98``)."""

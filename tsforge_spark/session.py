@@ -120,6 +120,16 @@ def warm_start(spark: SparkSession, tiny_parquet: str | None = None) -> float:
     spark.range(1000).groupBy((F.col("id") % 10).alias("g")).agg(
         F.count(F.lit(1)), F.sum("id"), F.min("id"), F.max("id")
     ).count()
-    if tiny_parquet and os.path.exists(tiny_parquet):
-        spark.read.parquet(tiny_parquet).count()
+    if tiny_parquet:
+        # Attempt the read and tolerate failure rather than pre-checking
+        # with os.path.exists: the pre-check is driver-LOCAL-filesystem
+        # only, so on s3/hdfs paths it silently skipped the parquet
+        # warm and the first real scan still paid reader init (r7
+        # verdict #6).  Best-effort by design — warm-up must never fail
+        # startup — but a miss is now the storage layer's verdict, not
+        # a wrong-filesystem assumption.
+        try:
+            spark.read.parquet(tiny_parquet).count()
+        except Exception:  # noqa: BLE001 — warm-up is best-effort
+            pass
     return _time.time() - t0
