@@ -140,7 +140,11 @@ def q_gapfill_hour(spark, sf_dir):
     (SURVEY §2.5/§2.9 fill_gaps)."""
     from tsforge_spark.operators.gapfill import _interp_exprs
 
-    h = _hourly(spark, sf_dir).select(
+    # unspread tier: this consumer's cost is the grid join + fill
+    # windows, not the partial aggregate — the spread exchange only
+    # added a raw shuffle (round-8 sweep: 0.60s vs 0.66s at
+    # sf1.0-scale, 0.41s vs 0.45s at sf0.1).
+    h = _hourly(spark, sf_dir, spread=False).select(
         "user_id", "bucket", "sum_cents",
         (F.col("sum_cents") / 100.0).alias("vh"),
     )
@@ -216,14 +220,18 @@ def q_series_diagnostics(spark, sf_dir):
 def q_intermittency_sbc(spark, sf_dir):
     """Intermittency stats + Syntetos-Boylan class on the zero-filled
     hourly series (SURVEY §2.4, plot_intermittancy.py:110-155)."""
-    from tsforge_spark.operators.gapfill import zero_filled_series
-
-    h = _hourly(spark, sf_dir).select("user_id", "bucket", "sum_cents")
-    # gap-explode zero-fill — row-identical to the former grid + left
-    # join + coalesce(0), one subtree instead of two (see
-    # operators/gapfill.zero_filled_series).
-    y = zero_filled_series(h, "user_id", "bucket", "sum_cents", "1h").select(
-        "user_id", "bucket", F.col("sum_cents").alias("c")
+    # grid + broadcast join zero-fill over the UNSPREAD tier: the
+    # round-8 sweep showed the gap-explode variant and the scan spread
+    # both lose for this single-window consumer (sweep at sf1.0-scale:
+    # 0.60s this shape vs 0.78s gap-explode/spread; same order at
+    # sf0.1) — only perm_entropy's lag-triple chain prefers the
+    # gap-explode build (see catalog_ts._zero_filled_hourly).
+    h = _hourly(spark, sf_dir, spread=False).select(
+        "user_id", "bucket", "sum_cents"
+    )
+    grid = complete_grid(h, "user_id", "bucket", "1h")
+    y = grid.join(h, ["user_id", "bucket"], "left").select(
+        "user_id", "bucket", F.coalesce("sum_cents", F.lit(0)).alias("c")
     )
     w = Window.partitionBy("user_id").orderBy("bucket")
     pos = y.withColumn("_pos", F.row_number().over(w))

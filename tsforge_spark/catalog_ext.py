@@ -76,14 +76,17 @@ def q_zero_streaks(spark, sf_dir):
     """Longest zero-run + leading/trailing zero counts on the zero-filled
     hourly grid — run-length islands via row_number difference
     (SURVEY §2.5, ts_features_extension.py:47-74,138-147)."""
-    from tsforge_spark.operators.gapfill import zero_filled_series
-
-    h = _hourly(spark, sf_dir).select("user_id", "bucket", "sum_cents")
-    # gap-explode zero-fill — row-identical to the former grid + left
-    # join + coalesce(0), one subtree instead of two (see
-    # operators/gapfill.zero_filled_series).
-    y = zero_filled_series(h, "user_id", "bucket", "sum_cents", "1h").select(
-        "user_id", "bucket", F.col("sum_cents").alias("c")
+    # grid + broadcast join zero-fill over the UNSPREAD tier — the
+    # round-8 sweep verdict for single-window zero-fill consumers
+    # (sf1.0-scale: 0.55s this shape vs 0.78s gap-explode/spread; same
+    # order at sf0.1); only perm_entropy prefers the gap-explode build
+    # (see catalog_ts._zero_filled_hourly).
+    h = _hourly(spark, sf_dir, spread=False).select(
+        "user_id", "bucket", "sum_cents"
+    )
+    grid = complete_grid(h, "user_id", "bucket", "1h")
+    y = grid.join(h, ["user_id", "bucket"], "left").select(
+        "user_id", "bucket", F.coalesce("sum_cents", F.lit(0)).alias("c")
     )
     w = Window.partitionBy("user_id").orderBy("bucket")
     pos = y.withColumn("pos", F.row_number().over(w))

@@ -15,17 +15,36 @@ from tsforge_spark.operators.sessions import (
 )
 
 
-def _zero_filled_hourly(spark, sf_dir):
-    # gap-explode zero-fill (round 8): row-identical to the former
-    # complete_grid + left join + coalesce(0), without the second
-    # hourly-aggregate subtree and the full-tier broadcast build the
-    # join needed (perm_entropy 2.1s → 0.7s at sf1.0; equality pinned
-    # by test_zero_filled_series_matches_grid_join).
+def _zero_filled_hourly(spark, sf_dir, explode: bool = False):
+    """Dense zero-filled hourly series, two row-identical builds
+    (equality pinned by ``test_zero_filled_series_matches_grid_join``):
+
+    - ``explode=True`` — single-pass gap-explode
+      (``gapfill.zero_filled_series``): one tier subtree, a per-user
+      lead() sort instead of the grid's broadcast join.  Wins when the
+      consumer re-sorts the dense rows many times over long windows —
+      perm_entropy's lag-triple chain measured 1.08s vs 2.82s
+      (grid+join) at sf1.0-scale, 0.60s vs 0.76s at sf0.1.
+    - ``explode=False`` — complete_grid + broadcast left join +
+      coalesce(0), over the UNSPREAD tier.  Wins for every single-window
+      consumer (acf_pacf / stl_decompose / ts_battery: the dense rows
+      come out of the generate already clustered, and the extra lead()
+      sort plus the spread exchange only add cost — round-8 sweep at
+      sf1.0-scale: acf 0.64s vs 0.79s, stl 0.70s vs 0.85s, battery
+      0.75s vs 0.96s; same ordering at sf0.1)."""
     from tsforge_spark.operators.gapfill import zero_filled_series
 
-    h = _hourly(spark, sf_dir).select("user_id", "bucket", "sum_cents")
-    return zero_filled_series(h, "user_id", "bucket", "sum_cents", "1h").select(
-        "user_id", "bucket", F.col("sum_cents").alias("c")
+    if explode:
+        h = _hourly(spark, sf_dir).select("user_id", "bucket", "sum_cents")
+        return zero_filled_series(
+            h, "user_id", "bucket", "sum_cents", "1h"
+        ).select("user_id", "bucket", F.col("sum_cents").alias("c"))
+    h = _hourly(spark, sf_dir, spread=False).select(
+        "user_id", "bucket", "sum_cents"
+    )
+    grid = complete_grid(h, "user_id", "bucket", "1h")
+    return grid.join(h, ["user_id", "bucket"], "left").select(
+        "user_id", "bucket", F.coalesce("sum_cents", F.lit(0)).alias("c")
     )
 
 
@@ -77,7 +96,7 @@ def q_acf_pacf(spark, sf_dir):
 
 def q_perm_entropy(spark, sf_dir):
     """m=3 ordinal-pattern permutation entropy per series."""
-    y = _zero_filled_hourly(spark, sf_dir)
+    y = _zero_filled_hourly(spark, sf_dir, explode=True)
     return permutation_entropy_m3(y, "user_id", "bucket", "c")
 
 
