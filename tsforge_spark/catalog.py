@@ -148,7 +148,10 @@ def q_gapfill_hour(spark, sf_dir):
         "user_id", "bucket", "sum_cents",
         (F.col("sum_cents") / 100.0).alias("vh"),
     )
-    grid = complete_grid(h.select("user_id", "bucket"), "user_id", "bucket", "1h")
+    grid = complete_grid(
+        h.select("user_id", "bucket"), "user_id", "bucket", "1h",
+        spread=False,
+    )
     joined = grid.join(h, ["user_id", "bucket"], "left")
     out = locf(joined, ["sum_cents"], "user_id", "bucket")
     out = _interp_exprs(out, "vh", "user_id", "bucket", "clamp")
@@ -229,7 +232,7 @@ def q_intermittency_sbc(spark, sf_dir):
     h = _hourly(spark, sf_dir, spread=False).select(
         "user_id", "bucket", "sum_cents"
     )
-    grid = complete_grid(h, "user_id", "bucket", "1h")
+    grid = complete_grid(h, "user_id", "bucket", "1h", spread=False)
     y = grid.join(h, ["user_id", "bucket"], "left").select(
         "user_id", "bucket", F.coalesce("sum_cents", F.lit(0)).alias("c")
     )

@@ -84,7 +84,7 @@ def q_zero_streaks(spark, sf_dir):
     h = _hourly(spark, sf_dir, spread=False).select(
         "user_id", "bucket", "sum_cents"
     )
-    grid = complete_grid(h, "user_id", "bucket", "1h")
+    grid = complete_grid(h, "user_id", "bucket", "1h", spread=False)
     y = grid.join(h, ["user_id", "bucket"], "left").select(
         "user_id", "bucket", F.coalesce("sum_cents", F.lit(0)).alias("c")
     )

@@ -42,7 +42,7 @@ def _zero_filled_hourly(spark, sf_dir, explode: bool = False):
     h = _hourly(spark, sf_dir, spread=False).select(
         "user_id", "bucket", "sum_cents"
     )
-    grid = complete_grid(h, "user_id", "bucket", "1h")
+    grid = complete_grid(h, "user_id", "bucket", "1h", spread=False)
     return grid.join(h, ["user_id", "bucket"], "left").select(
         "user_id", "bucket", F.coalesce("sum_cents", F.lit(0)).alias("c")
     )

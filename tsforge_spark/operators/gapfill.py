@@ -47,7 +47,10 @@ _FREQ_INTERVAL = {
 _FREQ_US = {"1m": 60e6, "1h": 3600e6, "1d": 86400e6, "1w": 7 * 86400e6}
 
 
-def complete_grid(df: DataFrame, id_col: str, time_col: str, freq: str) -> DataFrame:
+def complete_grid(
+    df: DataFrame, id_col: str, time_col: str, freq: str,
+    spread: bool = True,
+) -> DataFrame:
     """Per-id dense bucket grid over each series' own [min, max] span —
     ``sequence() + explode`` (SURVEY.md §2.9); the timestamps must already
     be bucket-aligned (use ``bucket_expr`` first).
@@ -78,7 +81,20 @@ def complete_grid(df: DataFrame, id_col: str, time_col: str, freq: str) -> DataF
     # row per series — pins the explode's parallelism at any scale
     # (series count >> partitions) while per-id locality is preserved
     # for every downstream window/groupBy.
-    spans = kernel_repartition(spans, id_col)
+    #
+    # ``spread=False`` opts a consumer out (mirrors catalog._hourly):
+    # right when the downstream is one window pass over the grid rows —
+    # the generate emits each id's buckets contiguously in time order,
+    # so the window's sort rides nearly-sorted runs and stays cheap
+    # even in the coalesced layout (r7-shape measured 0.6-0.75s at
+    # sf1.0-scale for the six grid+join catalog consumers), while the
+    # spread's 65-task scheduling across every downstream stage costs
+    # +0.09-0.17s per query at sf0.1 (clean-window full-catalog A/B,
+    # controls flat).  Keep the default — the scale-safe choice — for
+    # heavy-probe consumers (missing_hours' anti-join of the full
+    # grid: 4.2s serial → parallel at sf1.0) and generic callers.
+    if spread:
+        spans = kernel_repartition(spans, id_col)
     if freq in ("1m", "1h"):
         # The chunk windows are PHYSICAL 24h spans anchored at _lo in
         # pure microsecond arithmetic — window k covers
