@@ -245,3 +245,29 @@ def test_zero_filled_series_matches_grid_join(spark):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 82 + 1 + 51
+
+
+def test_complete_grid_spread_row_identical(spark):
+    """``complete_grid(spread=False)`` (round-8 per-consumer opt-out of
+    the spans kernel_repartition) must return the same rows as the
+    spread default — the flag may only change partitioning, never
+    content — and the spread plan must carry the user-numbered
+    repartition while the opt-out must not."""
+    import datetime as dt
+
+    from tsforge_spark.operators.gapfill import complete_grid
+
+    t0 = dt.datetime(2025, 3, 1, 0)
+    rows = [(i, t0 + dt.timedelta(hours=h)) for i in (1, 2, 3)
+            for h in (0, 5, 30)]
+    src = spark.createDataFrame(rows, ["id", "t"])
+    on = complete_grid(src, "id", "t", "1h", spread=True)
+    off = complete_grid(src, "id", "t", "1h", spread=False)
+    a = on.orderBy("id", "t").toPandas()
+    b = off.orderBy("id", "t").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 3 * 31
+    plan_on = on._jdf.queryExecution().toString()
+    plan_off = off._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" in plan_on
+    assert "REPARTITION_BY_NUM" not in plan_off
